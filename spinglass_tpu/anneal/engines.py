@@ -1,0 +1,130 @@
+"""Sweep-engine abstraction shared by the SA and PT drivers.
+
+An engine is a callable bundle with a declared spin LAYOUT:
+  * "rn" — spins [R, N] (replica-major): the XLA reference engines.
+  * "nr" — spins [N, R] (spin-major): the fused Pallas TPU engine, which keeps
+    spins transposed so the kernel's sequential dimension walks sublanes.
+
+The drivers keep annealing state in the engine's layout for the whole jitted
+scan (no per-sweep transposes) and only convert at chunk boundaries.
+
+Engine selection policy (make_engine):
+  1. sweep_method="colored" or auto+small-coloring → colored XLA sweeps
+     (k matmuls/sweep; ideal for grids and sparse graphs).
+  2. otherwise on TPU → FusedSweep Pallas kernel (in-kernel RNG).
+  3. otherwise → blocked XLA sweep (CPU/GPU fallback, host RNG).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spinglass_tpu.core import topology
+from spinglass_tpu.core.problem import IsingProblem
+from spinglass_tpu.kernels import sweeps as sweep_kernels
+
+
+class SweepEngine:
+    """Base: sweep(spins, beta, key) -> (spins, dE[R], n_accepted[R])."""
+
+    layout = "rn"
+    name = "base"
+
+    def __init__(self, problem: IsingProblem):
+        self.problem = problem
+
+    def to_layout(self, spins_rn: jax.Array) -> jax.Array:
+        return spins_rn.T if self.layout == "nr" else spins_rn
+
+    def from_layout(self, spins: jax.Array) -> jax.Array:
+        return spins.T if self.layout == "nr" else spins
+
+    def sweep(self, spins, beta, key):
+        raise NotImplementedError
+
+
+class ColoredEngine(SweepEngine):
+    """Vectorized same-color simultaneous updates (exact for proper colorings)."""
+
+    name = "colored"
+
+    def __init__(self, problem: IsingProblem, colors: np.ndarray,
+                 rule: str = "metropolis"):
+        super().__init__(problem)
+        self.rule = rule
+        self.n_colors = int(colors.max()) + 1 if colors.size else 1
+        self.masks = sweep_kernels.color_masks_from_colors(
+            colors, problem.n_padded)
+
+    def sweep(self, spins, beta, key):
+        uniforms = jax.random.uniform(key, spins.shape, jnp.float32)
+        return sweep_kernels.colored_sweep(
+            self.problem, self.masks, spins, beta, uniforms, rule=self.rule)
+
+
+class BlockedXLAEngine(SweepEngine):
+    """Exact sequential-equivalent blocked sweep, pure XLA (CPU fallback)."""
+
+    name = "blocked"
+
+    def __init__(self, problem: IsingProblem, block_size: int = 128,
+                 rule: str = "metropolis"):
+        super().__init__(problem)
+        self.block_size = block_size
+        self.rule = rule
+
+    def sweep(self, spins, beta, key):
+        uniforms = jax.random.uniform(key, spins.shape, jnp.float32)
+        return sweep_kernels.blocked_sweep(
+            self.problem, spins, beta, uniforms,
+            block_size=self.block_size, rule=self.rule)
+
+
+class PallasEngine(SweepEngine):
+    """Fused whole-sweep Pallas TPU kernel, [N, R] layout, in-kernel RNG."""
+
+    layout = "nr"
+    name = "blocked_pallas"
+
+    def __init__(self, problem: IsingProblem, block_size: int = 128,
+                 rule: str = "metropolis", interpret: bool = False):
+        super().__init__(problem)
+        from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
+
+        self.fused = FusedSweep(problem, block_size=block_size, rule=rule,
+                                interpret=interpret)
+
+    def sweep(self, spins_t, beta, key):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        return self.fused(spins_t, beta, seed)
+
+
+def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
+                update_rule: str = "metropolis", block_size: int = 128,
+                use_pallas: str = "auto",
+                max_colors: int = 8) -> SweepEngine:
+    """Pick the sweep engine (replaces the reference's CUDA-vs-torch dispatch,
+    annealing/gpu_annealer.py:199-234 / cuda_kernels.py:150-171)."""
+    if sweep_method in ("auto", "colored"):
+        j_np = np.asarray(problem.j)[: problem.n_spins, : problem.n_spins]
+        try:
+            colors = topology.greedy_coloring(
+                j_np, max_colors=max_colors if sweep_method == "auto" else 256)
+            n_colors = int(colors.max()) + 1 if colors.size else 1
+            if sweep_method == "colored" or n_colors <= max_colors:
+                return ColoredEngine(problem, colors, rule=update_rule)
+        except ValueError:
+            if sweep_method == "colored":
+                raise
+    pallas_ok = (use_pallas == "always"
+                 or (use_pallas == "auto" and jax.default_backend() == "tpu"))
+    if pallas_ok:
+        return PallasEngine(problem, block_size=block_size, rule=update_rule,
+                            interpret=use_pallas == "always"
+                            and jax.default_backend() != "tpu")
+    return BlockedXLAEngine(problem, block_size=block_size, rule=update_rule)

@@ -1,0 +1,138 @@
+"""Multi-chip parallel tempering: replicas sharded over a device mesh.
+
+TPU-native replacement for the reference's MultiGPUAnnealer
+(annealing/multi_gpu.py:46-551), whose "replica_exchange" strategy was one
+thread per GPU with in-memory swaps and whose communication_backend setting
+was never used (SURVEY §2.6). Here:
+
+* replicas are a sharded leading axis over a ``Mesh(("replica",))``;
+* the lockstep sweep partitions automatically (batched matmuls over the
+  replica axis need no communication);
+* the exchange step swaps *ladder slots, not spin states* (anneal/pt.py), so
+  the only cross-device traffic is the tiny [R] (energy, slot) vectors —
+  XLA inserts the all-gather/all-to-all over ICI via GSPMD. Spins never move.
+
+Two entry points:
+  make_sharded_pt_step(...)  — jitted super-step with explicit NamedShardings
+                               (GSPMD partitioning; the idiomatic path).
+  run(...)                   — full sharded PT run mirroring pt.run.
+
+Multi-host scale-out uses the same code: call jax.distributed.initialize()
+first and build the mesh over all devices; replica shards ride ICI within a
+slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spinglass_tpu.anneal import pt as pt_mod
+from spinglass_tpu.anneal.pt import PTConfig, PTState
+from spinglass_tpu.anneal.result import AnnealResult
+from spinglass_tpu.core.problem import IsingProblem
+
+
+def make_mesh(devices=None, axis: str = "replica") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def state_shardings(mesh: Mesh, engine_layout: str = "rn",
+                    axis: str = "replica") -> PTState:
+    """A PTState-shaped pytree of NamedShardings: replica axis sharded, ladder
+    bookkeeping replicated (it is O(R) scalars)."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    spin_spec = ns(None, axis) if engine_layout == "nr" else ns(axis, None)
+    return PTState(
+        spins=spin_spec,
+        slot=ns(axis),
+        energy=ns(axis),
+        best_energy=ns(axis),
+        best_spins=spin_spec,
+        key=ns(),
+        sweep=ns(),
+        exch_attempts=ns(),
+        exch_accepts=ns(),
+        acc_rate=ns(axis),
+    )
+
+
+def make_sharded_pt_step(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
+                         axis: str = "replica"):
+    """Returns (jitted_step, betas_ladder, engine, shardings). The step runs
+    one exchange_interval of sweeps + one exchange, with replicas sharded."""
+    if cfg.n_replicas % mesh.devices.size != 0:
+        raise ValueError(
+            f"n_replicas={cfg.n_replicas} must divide over "
+            f"{mesh.devices.size} devices")
+    super_step, betas_ladder, engine = pt_mod.make_pt_step(problem, cfg)
+    shardings = state_shardings(mesh, engine.layout, axis)
+
+    @jax.jit
+    def step(state: PTState) -> Tuple[PTState, dict]:
+        state, stats = super_step(state, None)
+        return state, stats
+
+    def init(key: Optional[jax.Array] = None) -> PTState:
+        state = pt_mod.init_state(problem, cfg, key, engine)
+        return jax.device_put(state, shardings)
+
+    return step, init, betas_ladder, engine, shardings
+
+
+def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
+        mesh: Optional[Mesh] = None,
+        key: Optional[jax.Array] = None) -> AnnealResult:
+    """Full sharded PT run (the multi-chip analog of anneal.pt.run)."""
+    cfg = cfg or PTConfig()
+    mesh = mesh or make_mesh()
+    step, init, betas_ladder, engine, shardings = make_sharded_pt_step(
+        problem, cfg, mesh)
+    n_super = max(1, cfg.n_sweeps // cfg.exchange_interval)
+
+    @jax.jit
+    def run_all(state):
+        return lax.scan(lambda s, _: step(s), state, None, length=n_super)
+
+    state = init(key)
+    t0 = time.perf_counter()
+    state, hist = run_all(state)
+    jax.block_until_ready(state.spins)
+    total = time.perf_counter() - t0
+
+    spins_rn = engine.from_layout(state.best_spins)
+    sweeps_done = n_super * cfg.exchange_interval
+    best_r = int(jnp.argmin(state.best_energy))
+    flips = sweeps_done * cfg.n_replicas * problem.n_spins
+    attempts = np.maximum(np.asarray(state.exch_attempts), 1)
+    return AnnealResult(
+        best_spins=np.asarray(spins_rn[best_r])[: problem.n_spins],
+        best_energy=float(jnp.min(state.best_energy)),
+        replica_best_energy=np.asarray(state.best_energy),
+        energy_history=np.asarray(hist["best_energy"]),
+        mean_energy_history=np.asarray(hist["cold_energy"]),
+        temperature_history=np.asarray(
+            jnp.broadcast_to(1.0 / betas_ladder[0], (n_super,))),
+        acceptance_history=np.asarray(hist["mean_acceptance"]),
+        n_sweeps=sweeps_done,
+        n_replicas=cfg.n_replicas,
+        total_time=total,
+        sweeps_per_second=sweeps_done / total if total > 0 else 0.0,
+        spin_flips_per_second=flips / total if total > 0 else 0.0,
+        algorithm=f"pt_sharded/{engine.name}x{mesh.devices.size}",
+        device=jax.default_backend(),
+        seed=cfg.seed,
+        metadata={
+            "n_devices": int(mesh.devices.size),
+            "exchange_rates": (np.asarray(state.exch_accepts) / attempts).tolist(),
+        },
+    )

@@ -1,0 +1,202 @@
+"""Problem-encoder tests, porting the reference's assertion ideas:
+known-optimal 4-city TSP square (tests/integration/test_end_to_end_tsp.py:19-103),
+encode/decode roundtrips, violation accounting, QUBO-energy consistency."""
+
+import numpy as np
+import pytest
+
+from spinglass_tpu.anneal.sa import SAConfig
+from spinglass_tpu.anneal.schedules import ScheduleConfig
+from spinglass_tpu.core import energy as E
+from spinglass_tpu.problems import (
+    CoordinationProblem, JobShopScheduling, MaxCutProblem,
+    QuadraticAssignmentProblem, ResourceAllocationProblem, SchedulingProblem,
+    SimpleScheduler, TSPProblem, VRPProblem,
+)
+
+FAST = SAConfig(n_sweeps=400, n_replicas=32, use_pallas="never", seed=0,
+                schedule=ScheduleConfig(initial_temp=5.0, final_temp=0.01,
+                                        alpha=0.99))
+
+
+class TestMaxCut:
+    def test_encode_and_cut_identity(self):
+        p = MaxCutProblem()
+        p.generate_random_instance(n_nodes=10, density=0.6, seed=1)
+        prob = p.encode_to_ising()
+        # cut value identity: cut = (W_total - E)/2 with h=0
+        rng = np.random.default_rng(0)
+        s = rng.choice([-1.0, 1.0], 10)
+        sp = np.ones(prob.n_padded)
+        sp[:10] = s
+        e = float(E.energy(prob, sp))
+        w_total = 0.5 * p.weights.sum()
+        assert p.cut_value(s) == pytest.approx(0.5 * (w_total - e), rel=1e-4)
+
+    def test_solve_finds_known_optimum(self):
+        """Bipartite K_{3,3}: optimal cut = all 9 edges."""
+        w = np.zeros((6, 6))
+        for i in range(3):
+            for j in range(3, 6):
+                w[i, j] = w[j, i] = 1.0
+        p = MaxCutProblem(weights=w)
+        sol = p.solve(FAST)
+        assert sol.variables["cut_value"] == pytest.approx(9.0)
+
+
+class TestTSP:
+    def test_four_city_square_optimal(self):
+        """Unit-square cities: optimal tour length = 4 (the perimeter)."""
+        locs = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        p = TSPProblem(locations=locs)
+        sol = p.solve(FAST)
+        assert p.validate_tour(sol.variables["tour"])
+        assert sol.objective_value == pytest.approx(4.0, rel=1e-6)
+
+    def test_decode_always_valid_tour(self):
+        p = TSPProblem()
+        p.generate_random_instance(n_cities=6, seed=2)
+        p.encode_to_ising()
+        # garbage spins still decode (greedy repair)
+        rng = np.random.default_rng(3)
+        sol = p.decode_solution(rng.choice([-1.0, 1.0], 36))
+        assert p.validate_tour(sol.variables["tour"])
+
+    def test_distance_metrics(self):
+        locs = np.array([[0.0, 0.0], [3.0, 4.0]])
+        from spinglass_tpu.problems import distance_matrix
+        assert distance_matrix(locs, "euclidean")[0, 1] == pytest.approx(5.0)
+        assert distance_matrix(locs, "manhattan")[0, 1] == pytest.approx(7.0)
+        assert distance_matrix(locs, "chebyshev")[0, 1] == pytest.approx(4.0)
+
+    def test_clean_encoding_energy_ordering(self):
+        """For clean one-hot assignments, lower tour length -> lower energy."""
+        p = TSPProblem()
+        p.generate_random_instance(n_cities=5, seed=4)
+        prob = p.encode_to_ising()
+        n = 5
+
+        def energy_of_tour(tour):
+            s = -np.ones(prob.n_padded)
+            s[25:] = 1.0
+            for pos, city in enumerate(tour):
+                s[city * n + pos] = 1.0
+            return float(E.energy(prob, s))
+
+        rng = np.random.default_rng(5)
+        tours = [rng.permutation(n) for _ in range(20)]
+        lengths = np.array([p.tour_length(t) for t in tours])
+        energies = np.array([energy_of_tour(t) for t in tours])
+        # for valid tours, energy = tour length + constant (penalties all zero)
+        shift = energies - lengths
+        np.testing.assert_allclose(shift, shift[0], rtol=1e-4, atol=1e-2)
+
+
+class TestScheduling:
+    def test_solve_small_feasible(self):
+        p = SchedulingProblem()
+        p.generate_random_instance(n_tasks=4, n_agents=2, seed=1,
+                                   precedence_prob=0.0)
+        sol = p.solve(FAST)
+        assert len(sol.variables["assignments"]) == 4
+        assert sol.is_feasible, sol.constraint_violations
+
+    def test_precedence_violation_detected(self):
+        p = SchedulingProblem()
+        p.generate_random_instance(n_tasks=3, n_agents=2, seed=2,
+                                   precedence_prob=1.0)
+        p.encode_to_ising()
+        # all tasks start at slot 0 on distinct agents → precedence violated
+        nt, na, ns = 3, 2, p.horizon
+        s = -np.ones(nt * na * ns)
+        for t in range(nt):
+            s[(t * na + t % na) * ns + 0] = 1.0
+        sol = p.decode_solution(s)
+        assert not sol.is_feasible
+        assert "precedence" in sol.constraint_violations
+
+    def test_jobshop_instance_has_chains(self):
+        p = JobShopScheduling()
+        p.generate_random_instance(n_jobs=2, ops_per_job=3, n_agents=2, seed=0)
+        assert len(p.tasks) == 6
+        assert p.tasks[1].predecessors == [0]
+        assert p.tasks[4].predecessors == [3]
+        p.encode_to_ising()
+        assert p.problem.n_spins == 6 * 2 * p.horizon
+
+
+class TestResource:
+    def test_solve_allocates_all(self):
+        p = ResourceAllocationProblem()
+        p.generate_random_instance(n_resources=3, n_demands=5, seed=0)
+        sol = p.solve(FAST)
+        assert len(sol.variables["allocation"]) == 5
+        assert sol.is_feasible, sol.constraint_violations
+
+    def test_overload_detection(self):
+        from spinglass_tpu.problems import Demand, Resource
+        p = ResourceAllocationProblem(
+            resources=[Resource(0, capacity=5.0)],
+            demands=[Demand(0, amount=4.0), Demand(1, amount=4.0)])
+        p.encode_to_ising()
+        s = np.ones(2)  # both demands on the single resource
+        sol = p.decode_solution(s)
+        assert not sol.is_feasible
+        assert sol.constraint_violations["resource_0_overload"] == pytest.approx(3.0)
+
+
+class TestCoordination:
+    def test_solve_assigns_tasks(self):
+        p = CoordinationProblem()
+        p.generate_random_instance(n_agents=3, n_tasks=4, horizon=3, seed=1)
+        sol = p.solve(FAST)
+        assert len(sol.variables["assignments"]) >= 3
+
+    def test_communication_graph(self):
+        p = CoordinationProblem()
+        p.generate_random_instance(n_agents=4, seed=0, box=10.0)
+        adj = p.communication_graph()
+        assert adj.shape == (4, 4)
+        assert np.all(adj == adj.T)
+        assert not np.any(np.diag(adj))
+
+
+class TestQAP:
+    def test_identity_cost(self):
+        p = QuadraticAssignmentProblem()
+        p.generate_random_instance(n=4, seed=0)
+        perm = np.arange(4)
+        expected = float((p.flows * p.distances).sum())
+        assert p.assignment_cost(perm) == pytest.approx(expected)
+
+    def test_solve_produces_permutation(self):
+        p = QuadraticAssignmentProblem()
+        p.generate_random_instance(n=4, seed=1)
+        sol = p.solve(FAST)
+        assert sorted(sol.variables["permutation"].tolist()) == [0, 1, 2, 3]
+
+
+class TestVRP:
+    def test_solve_serves_all_customers(self):
+        p = VRPProblem()
+        p.generate_random_instance(n_customers=5, n_vehicles=2, seed=0)
+        sol = p.solve(FAST)
+        served = sorted(c for route in sol.variables["routes"].values()
+                        for c in route)
+        assert served == list(range(5))
+
+
+class TestSimpleScheduler:
+    def test_optimal_assignment_found(self):
+        costs = np.array([[1.0, 10.0], [10.0, 1.0], [1.0, 10.0]])
+        p = SimpleScheduler(costs=costs)
+        sol = p.solve(FAST)
+        assert sol.objective_value == pytest.approx(3.0)
+        assert sol.variables["assignment"] == {0: 0, 1: 1, 2: 0}
+
+    def test_json_export(self):
+        p = SimpleScheduler(costs=np.ones((2, 2)))
+        sol = p.solve(SAConfig(n_sweeps=50, n_replicas=4, use_pallas="never"))
+        import json
+        parsed = json.loads(sol.to_json())
+        assert "objective_value" in parsed
