@@ -1,0 +1,217 @@
+"""Vectorized annealer-as-environment.
+
+Rebuilds the reference's SpinGlassEnv (rl_integration/environment.py:51-537) —
+a single-problem Gymnasium loop whose每 step runs the whole GPUAnnealer — as a
+pure-functional *batched* environment: B annealing trajectories step in
+lockstep under jit (the formulation SURVEY §7 step 6 calls for). The RL agent
+controls the temperature schedule; the environment IS the annealer.
+
+Everything is a pure function of (problem, EnvState, action, key), with the
+problem passed as a pytree *argument* so new random instances do not trigger
+recompilation (unlike engine closures).
+
+Observation (obs_mode="global", default): 16 global features per env,
+mirroring environment.py:400-440's global feature vector:
+  [E/E0, E_best/E0, dE_last/|E0|, log10(T), acceptance, progress,
+   magnetization, E z-score, plateau fraction, last-action one-hot-ish slots]
+Action modes (environment.py:88-113):
+  discrete   — index into N_TEMP_MULTIPLIERS temperature multipliers
+  continuous — [temp_multiplier in [0.5, 2], sweep_fraction in [0, 1]]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from spinglass_tpu.core import energy as energy_ops
+from spinglass_tpu.core.problem import IsingProblem, random_spins
+from spinglass_tpu.kernels import sweeps as sweep_kernels
+from spinglass_tpu.rl import rewards as reward_mod
+
+TEMP_MULTIPLIERS = jnp.asarray(
+    [0.5, 0.7, 0.8, 0.9, 0.95, 1.05, 1.1, 1.25, 1.5, 2.0], jnp.float32)
+N_ACTIONS = 10
+OBS_DIM = 16
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """Static env parameters (reference SpinGlassEnvConfig,
+    environment.py:17-48)."""
+
+    n_envs: int = 64
+    sweeps_per_step: int = 10
+    max_steps: int = 100
+    action_mode: str = "discrete"        # discrete | continuous
+    initial_temp: float = 2.0
+    min_temp: float = 1e-3
+    max_temp: float = 50.0
+    update_rule: str = "metropolis"
+    block_size: int = 128
+    plateau_patience: int = 10           # termination on plateau (env:442-456)
+    plateau_tolerance: float = 1e-6
+    reward: reward_mod.RewardConfig = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.reward is None:
+            object.__setattr__(self, "reward", reward_mod.RewardConfig())
+
+
+@struct.dataclass
+class EnvState:
+    spins: jax.Array          # [B, Np]
+    energy: jax.Array         # [B]
+    best_energy: jax.Array    # [B]
+    initial_energy: jax.Array  # [B]
+    prev_energy: jax.Array    # [B]
+    temp: jax.Array           # [B]
+    acc_rate: jax.Array       # [B]
+    step: jax.Array           # [B] i32
+    plateau: jax.Array        # [B] i32 — steps since last improvement
+    reward_state: reward_mod.RewardState
+    done: jax.Array           # [B] bool
+
+
+def reset(problem: IsingProblem, cfg: EnvConfig, key: jax.Array
+          ) -> Tuple[EnvState, jax.Array]:
+    """Fresh trajectories: random spins, initial temperature."""
+    b = cfg.n_envs
+    spins = random_spins(key, (b, problem.n_padded), problem.active_mask)
+    e = energy_ops.energy(problem, spins)
+    state = EnvState(
+        spins=spins,
+        energy=e,
+        best_energy=e,
+        initial_energy=e,
+        prev_energy=e,
+        temp=jnp.full((b,), cfg.initial_temp, jnp.float32),
+        acc_rate=jnp.zeros((b,), jnp.float32),
+        step=jnp.zeros((b,), jnp.int32),
+        plateau=jnp.zeros((b,), jnp.int32),
+        reward_state=reward_mod.init_state(cfg.reward, b),
+        done=jnp.zeros((b,), bool),
+    )
+    return state, observe(problem, cfg, state)
+
+
+def _decode_action(cfg: EnvConfig, action: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """action -> (temp multiplier [B], sweep fraction [B])
+    (reference environment.py:276-316)."""
+    if cfg.action_mode == "discrete":
+        mult = TEMP_MULTIPLIERS[action]
+        frac = jnp.ones_like(mult)
+    elif cfg.action_mode == "continuous":
+        mult = jnp.clip(action[..., 0], 0.5, 2.0)
+        frac = jnp.clip(action[..., 1], 0.1, 1.0)
+    else:
+        raise ValueError(cfg.action_mode)
+    return mult, frac
+
+
+def step(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
+         action: jax.Array, key: jax.Array
+         ) -> Tuple[EnvState, jax.Array, jax.Array, jax.Array]:
+    """One env step: apply temperature action, run sweeps_per_step Metropolis
+    sweeps at constant T (reference environment.py:318-336), shape reward.
+
+    Returns (state, obs [B, OBS_DIM], reward [B], done [B])."""
+    mult, frac = _decode_action(cfg, action)
+    temp = jnp.clip(state.temp * mult, cfg.min_temp, cfg.max_temp)
+    beta = 1.0 / temp
+
+    def one_sweep(carry, k):
+        spins, energy, cnt_acc, n_done = carry
+        u = jax.random.uniform(k, spins.shape, jnp.float32)
+        # sweep fraction gates each sweep: envs with frac budgets skip
+        # trailing sweeps (constant shapes; skipped sweeps are identity)
+        i = n_done
+        active = (i < jnp.round(frac * cfg.sweeps_per_step)).astype(jnp.float32)
+        new_spins, de, cnt = sweep_kernels.blocked_sweep(
+            problem, spins, beta, u, block_size=cfg.block_size,
+            rule=cfg.update_rule)
+        spins = jnp.where(active[:, None] > 0, new_spins, spins)
+        energy = energy + jnp.where(active > 0, de, 0.0)
+        cnt_acc = cnt_acc + jnp.where(active > 0, cnt, 0)
+        return (spins, energy, cnt_acc, n_done + 1), None
+
+    keys = jax.random.split(key, cfg.sweeps_per_step)
+    init = (state.spins, state.energy,
+            jnp.zeros((cfg.n_envs,), jnp.int32),
+            jnp.zeros((cfg.n_envs,), jnp.int32))
+    (spins, energy, cnt, _), _ = lax.scan(one_sweep, init, keys)
+    # exact resync to kill drift (one matmul per env step)
+    energy = energy_ops.energy(problem, spins)
+
+    n_sweeps_eff = jnp.maximum(jnp.round(frac * cfg.sweeps_per_step), 1.0)
+    acc_rate = cnt.astype(jnp.float32) / (n_sweeps_eff * problem.n_spins)
+    improved = energy < state.best_energy - 1e-9
+    best = jnp.minimum(state.best_energy, energy)
+    plateau = jnp.where(improved, 0, state.plateau + 1)
+
+    new_state = state.replace(
+        spins=spins, energy=energy, best_energy=best,
+        prev_energy=state.energy, temp=temp, acc_rate=acc_rate,
+        step=state.step + 1, plateau=plateau,
+    )
+    reward, rstate = reward_mod.compute(
+        cfg.reward, new_state.reward_state,
+        energy=energy, prev_energy=state.energy, best_energy=best,
+        initial_energy=state.initial_energy, acc_rate=acc_rate,
+        temp=temp, step=new_state.step, max_steps=cfg.max_steps,
+        improved=improved)
+    new_state = new_state.replace(reward_state=rstate)
+
+    done = (new_state.step >= cfg.max_steps) | (
+        plateau >= cfg.plateau_patience)
+    new_state = new_state.replace(done=done)
+    return new_state, observe(problem, cfg, new_state), reward, done
+
+
+def observe(problem: IsingProblem, cfg: EnvConfig, state: EnvState
+            ) -> jax.Array:
+    """[B, OBS_DIM] global features (reference environment.py:400-440)."""
+    e0 = jnp.abs(state.initial_energy) + 1e-8
+    de = state.energy - state.prev_energy
+    mag = energy_ops.magnetization(problem, state.spins)
+    zstat = (state.energy - jnp.mean(state.energy)) / (
+        jnp.std(state.energy) + 1e-8)
+    feats = [
+        state.energy / e0,
+        state.best_energy / e0,
+        de / e0,
+        jnp.log10(jnp.maximum(state.temp, 1e-8)),
+        state.acc_rate,
+        state.step.astype(jnp.float32) / cfg.max_steps,
+        mag,
+        zstat,
+        state.plateau.astype(jnp.float32) / cfg.plateau_patience,
+        (state.energy - state.best_energy) / e0,
+        jnp.tanh(state.energy / e0),
+        jnp.abs(mag),
+        state.acc_rate - 0.44,
+        jnp.log10(jnp.maximum(state.temp, 1e-8)) / 3.0,
+        jnp.ones_like(mag),
+        jnp.zeros_like(mag),
+    ]
+    return jnp.stack(feats, axis=-1)
+
+
+def auto_reset(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
+               key: jax.Array) -> Tuple[EnvState, jax.Array]:
+    """Reset only the done trajectories (standard vectorized-env pattern)."""
+    fresh, fresh_obs = reset(problem, cfg, key)
+    done = state.done
+
+    def pick(f, s):
+        mask = done.reshape((-1,) + (1,) * (s.ndim - 1))
+        return jnp.where(mask, f, s)
+
+    mixed = jax.tree.map(pick, fresh, state)
+    return mixed, observe(problem, cfg, mixed)

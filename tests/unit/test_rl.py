@@ -1,0 +1,232 @@
+"""RL-layer tests: env semantics, reward shaping, PPO/DQN learning smoke
+(reference assertion ideas from the hybrid-agent/environment design,
+SURVEY §2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spinglass_tpu.core import topology
+from spinglass_tpu.core.problem import IsingProblem
+from spinglass_tpu.rl import dqn as dqn_mod
+from spinglass_tpu.rl import env as env_mod
+from spinglass_tpu.rl import ppo as ppo_mod
+from spinglass_tpu.rl import rewards as rew_mod
+from spinglass_tpu.rl.env import EnvConfig
+from spinglass_tpu.rl.train import RLTrainingPipeline, TrainingConfig
+
+
+def _problem(n=24, seed=0):
+    j = topology.fully_connected(n, dist="gaussian",
+                                 scale=1.0 / np.sqrt(n), seed=seed)
+    return IsingProblem.from_dense(j)
+
+
+CFG = EnvConfig(n_envs=8, sweeps_per_step=3, max_steps=12, block_size=128)
+
+
+class TestEnv:
+    def test_reset_shapes(self, key):
+        p = _problem()
+        state, obs = env_mod.reset(p, CFG, key)
+        assert obs.shape == (8, env_mod.OBS_DIM)
+        assert state.spins.shape == (8, p.n_padded)
+        assert np.all(np.isfinite(np.asarray(obs)))
+
+    def test_step_advances_and_rewards(self, key):
+        p = _problem()
+        state, obs = env_mod.reset(p, CFG, key)
+        action = jnp.zeros((8,), jnp.int32)  # strongest cooling
+        k2 = jax.random.key(1)
+        state2, obs2, reward, done = env_mod.step(p, CFG, state, action, k2)
+        assert np.all(np.asarray(state2.step) == 1)
+        assert reward.shape == (8,)
+        assert np.all(np.isfinite(np.asarray(reward)))
+        # temperature multiplied by 0.5 (action 0)
+        np.testing.assert_allclose(np.asarray(state2.temp),
+                                   np.asarray(state.temp) * 0.5, rtol=1e-6)
+
+    def test_energy_tracking_consistent(self, key):
+        from spinglass_tpu.core import energy as E
+        p = _problem()
+        state, _ = env_mod.reset(p, CFG, key)
+        state2, _, _, _ = env_mod.step(p, CFG, state, jnp.full((8,), 5), key)
+        np.testing.assert_allclose(
+            np.asarray(state2.energy),
+            np.asarray(E.energy(p, state2.spins)), rtol=1e-4, atol=1e-3)
+        assert np.all(np.asarray(state2.best_energy)
+                      <= np.asarray(state2.energy) + 1e-5)
+
+    def test_done_at_max_steps(self, key):
+        p = _problem()
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=3,
+                        plateau_patience=1000)
+        state, _ = env_mod.reset(p, cfg, key)
+        for i in range(3):
+            state, _, _, done = env_mod.step(
+                p, cfg, state, jnp.full((4,), 5), jax.random.key(i))
+        assert np.all(np.asarray(done))
+
+    def test_auto_reset_restores_done_envs(self, key):
+        p = _problem()
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=1,
+                        plateau_patience=1000)
+        state, _ = env_mod.reset(p, cfg, key)
+        state, _, _, done = env_mod.step(p, cfg, state, jnp.full((4,), 5),
+                                         jax.random.key(1))
+        assert np.all(np.asarray(done))
+        state2, obs = env_mod.auto_reset(p, cfg, state, jax.random.key(2))
+        assert np.all(np.asarray(state2.step) == 0)
+        assert not np.any(np.asarray(state2.done))
+
+    def test_continuous_action_mode(self, key):
+        p = _problem()
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=5,
+                        action_mode="continuous")
+        state, _ = env_mod.reset(p, cfg, key)
+        action = jnp.tile(jnp.asarray([[1.5, 0.5]]), (4, 1))
+        state2, _, r, _ = env_mod.step(p, cfg, state, action, key)
+        np.testing.assert_allclose(np.asarray(state2.temp),
+                                   np.asarray(state.temp) * 1.5, rtol=1e-6)
+
+
+class TestRewards:
+    def test_energy_improvement_rewarded(self):
+        cfg = rew_mod.RewardConfig(acceptance_weight=0.0,
+                                   convergence_weight=0.0,
+                                   efficiency_weight=0.0)
+        st = rew_mod.init_state(cfg, 2)
+        args = dict(best_energy=jnp.zeros(2), initial_energy=-jnp.ones(2),
+                    acc_rate=jnp.full((2,), 0.44), temp=jnp.ones(2),
+                    step=jnp.ones((2,), jnp.int32), max_steps=10,
+                    improved=jnp.zeros(2, bool))
+        r_up, _ = rew_mod.compute(cfg, st, energy=jnp.asarray([-5.0, -5.0]),
+                                  prev_energy=jnp.asarray([0.0, 0.0]), **args)
+        r_down, _ = rew_mod.compute(cfg, st, energy=jnp.asarray([5.0, 5.0]),
+                                    prev_energy=jnp.asarray([0.0, 0.0]), **args)
+        assert np.all(np.asarray(r_up) > 0)
+        assert np.all(np.asarray(r_down) < 0)
+
+    def test_acceptance_target(self):
+        cfg = rew_mod.RewardConfig(energy_weight=0.0, convergence_weight=0.0,
+                                   efficiency_weight=0.0)
+        st = rew_mod.init_state(cfg, 1)
+        base = dict(energy=jnp.zeros(1), prev_energy=jnp.zeros(1),
+                    best_energy=jnp.zeros(1), initial_energy=jnp.ones(1),
+                    temp=jnp.ones(1), step=jnp.ones((1,), jnp.int32),
+                    max_steps=10, improved=jnp.zeros(1, bool))
+        r_good, _ = rew_mod.compute(cfg, st, acc_rate=jnp.asarray([0.44]),
+                                    **base)
+        r_bad, _ = rew_mod.compute(cfg, st, acc_rate=jnp.asarray([0.9]),
+                                   **base)
+        assert float(r_good[0]) > float(r_bad[0])
+
+    def test_reward_clipping(self):
+        cfg = rew_mod.RewardConfig(clip=1.0)
+        st = rew_mod.init_state(cfg, 1)
+        r, _ = rew_mod.compute(
+            cfg, st, energy=jnp.asarray([-1e6]), prev_energy=jnp.zeros(1),
+            best_energy=jnp.zeros(1), initial_energy=jnp.ones(1),
+            acc_rate=jnp.asarray([0.44]), temp=jnp.ones(1),
+            step=jnp.ones((1,), jnp.int32), max_steps=10,
+            improved=jnp.ones(1, bool))
+        assert abs(float(r[0])) <= 1.0
+
+
+class TestPPO:
+    def test_update_runs_and_improves_energy(self):
+        p = _problem(16, seed=1)
+        cfg = ppo_mod.PPOConfig(rollout_len=4, n_epochs=2, n_minibatches=2,
+                                n_updates=3, hidden_sizes=(32,))
+        init_fn, update_fn, model = ppo_mod.make_ppo(p, CFG, cfg)
+        state = init_fn()
+        metrics = None
+        for _ in range(3):
+            state, metrics = update_fn(state)
+        assert np.isfinite(float(metrics["policy_loss"]))
+        assert np.isfinite(float(metrics["mean_reward"]))
+        assert np.isfinite(float(metrics["mean_best_energy"]))
+
+    def test_params_change(self):
+        p = _problem(16)
+        cfg = ppo_mod.PPOConfig(rollout_len=4, n_epochs=1, n_minibatches=1,
+                                hidden_sizes=(16,))
+        init_fn, update_fn, _ = ppo_mod.make_ppo(p, CFG, cfg)
+        state = init_fn()
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+        state, _ = update_fn(state)
+        changed = jax.tree.map(
+            lambda a, b: not np.allclose(a, np.asarray(b)), before,
+            state.params)
+        assert any(jax.tree.leaves(changed))
+
+
+class TestDQN:
+    def test_buffer_ring_semantics(self):
+        buf = dqn_mod.ReplayBuffer.create(4, 2)
+        obs = jnp.ones((3, 2))
+        buf = buf.push_batch(obs, jnp.zeros((3,), jnp.int32),
+                             jnp.ones((3,)), obs, jnp.zeros((3,), bool))
+        assert int(buf.size) == 3 and int(buf.ptr) == 3
+        buf = buf.push_batch(obs * 2, jnp.ones((3,), jnp.int32),
+                             jnp.ones((3,)), obs, jnp.zeros((3,), bool))
+        assert int(buf.size) == 4 and int(buf.ptr) == 2  # wrapped
+
+    def test_act_and_learn_step(self):
+        p = _problem(16)
+        cfg = dqn_mod.DQNConfig(hidden_sizes=(16,), batch_size=8,
+                                buffer_size=64)
+        init_fn, step_fn, model = dqn_mod.make_dqn(p, CFG, cfg)
+        state = init_fn()
+        for _ in range(3):
+            state, m = step_fn(state)
+        assert np.isfinite(float(m["loss"]))
+        assert 0.05 <= float(m["annealing_weight"]) <= 0.95
+        assert int(state.buffer.size) == 24  # 3 steps x 8 envs
+
+    def test_heuristic_action_logic(self):
+        obs = np.zeros((2, env_mod.OBS_DIM), np.float32)
+        obs[0, 8] = 0.9   # plateau → reheat (action 8)
+        obs[1, 4] = 0.7   # high acceptance → freeze (action 1)
+        a = dqn_mod.heuristic_action(jnp.asarray(obs))
+        assert a[0] == 8 and a[1] == 1
+
+    def test_params_save_load_roundtrip(self, tmp_path):
+        p = _problem(16)
+        init_fn, _, _ = dqn_mod.make_dqn(p, CFG, dqn_mod.DQNConfig(
+            hidden_sizes=(8,)))
+        state = init_fn()
+        path = str(tmp_path / "params.npz")
+        dqn_mod.save_params(state.params, path)
+        loaded = dqn_mod.load_params(state.params, path)
+        chex_equal = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            state.params, loaded)
+        assert all(jax.tree.leaves(chex_equal))
+
+
+class TestPipeline:
+    def test_ppo_pipeline_smoke(self, tmp_path):
+        pipe = RLTrainingPipeline(
+            TrainingConfig(agent="ppo", n_updates=2, checkpoint_interval=1,
+                           checkpoint_dir=str(tmp_path)),
+            env_cfg=EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=6),
+            ppo_cfg=ppo_mod.PPOConfig(rollout_len=3, n_epochs=1,
+                                      n_minibatches=1, hidden_sizes=(16,)),
+            problem=_problem(16))
+        out = pipe.train()
+        assert out["env_steps_per_second"] > 0
+        assert len(out["metrics"]) == 2
+        import os
+        assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+
+    def test_dqn_pipeline_smoke(self):
+        pipe = RLTrainingPipeline(
+            TrainingConfig(agent="dqn", n_updates=2),
+            env_cfg=EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=6),
+            dqn_cfg=dqn_mod.DQNConfig(hidden_sizes=(8,), batch_size=4,
+                                      buffer_size=32),
+            problem=_problem(16))
+        out = pipe.train()
+        assert len(out["metrics"]) == 2
