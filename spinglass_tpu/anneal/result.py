@@ -76,6 +76,8 @@ class AnnealResult:
             n_sweeps=self.n_sweeps,
             n_replicas=self.n_replicas,
             total_time=self.total_time,
+            sweeps_per_second=self.sweeps_per_second,
+            spin_flips_per_second=self.spin_flips_per_second,
             algorithm=self.algorithm,
             seed=-1 if self.seed is None else self.seed,
         )
@@ -95,6 +97,10 @@ class AnnealResult:
                 n_sweeps=int(z["n_sweeps"]),
                 n_replicas=int(z["n_replicas"]),
                 total_time=float(z["total_time"]),
+                sweeps_per_second=float(z["sweeps_per_second"])
+                if "sweeps_per_second" in z else 0.0,
+                spin_flips_per_second=float(z["spin_flips_per_second"])
+                if "spin_flips_per_second" in z else 0.0,
                 algorithm=str(z["algorithm"]),
                 seed=None if seed < 0 else seed,
             )

@@ -1,0 +1,3 @@
+from spinglass_tpu.benchmarks.runner import (
+    BenchmarkRunner, BenchmarkCase, BenchmarkResult, standard_suite,
+)

@@ -1,0 +1,214 @@
+"""Command-line interface (reference spin_glass_rl/cli.py:20-245).
+
+Commands: solve / benchmark / ising / load / health / train-rl.
+Console entry point ``sgt`` (see pyproject.toml)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import click
+import numpy as np
+
+
+@click.group()
+@click.version_option(version="0.1.0", prog_name="spinglass-tpu")
+@click.option("--platform", default=None,
+              type=click.Choice(["tpu", "cpu"]),
+              help="force the JAX platform (default: auto-detect)")
+def main(platform):
+    """spinglass-tpu: TPU-native spin-glass annealing + RL framework."""
+    if platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms",
+                              "cpu" if platform == "cpu" else None)
+        except RuntimeError as e:
+            raise click.ClickException(
+                f"cannot switch platform after JAX initialized: {e}")
+
+
+def _make_problem(problem: str, size: int, seed: int):
+    """Problem factory (reference cli.py:248-281)."""
+    from spinglass_tpu.problems import PROBLEM_REGISTRY
+
+    if problem not in PROBLEM_REGISTRY:
+        raise click.BadParameter(
+            f"unknown problem {problem!r}; choose from "
+            f"{sorted(PROBLEM_REGISTRY)}")
+    if size < 2:
+        raise click.BadParameter(f"--size must be >= 2, got {size}")
+    template = PROBLEM_REGISTRY[problem]()
+    if problem == "tsp":
+        template.generate_random_instance(n_cities=size, seed=seed)
+    elif problem == "vrp":
+        template.generate_random_instance(n_customers=size, seed=seed)
+    elif problem == "maxcut":
+        template.generate_random_instance(n_nodes=size, seed=seed)
+    elif problem == "qap":
+        template.generate_random_instance(n=size, seed=seed)
+    elif problem in ("scheduling", "jobshop"):
+        template.generate_random_instance(n_tasks=size, n_agents=max(
+            2, size // 3), seed=seed)
+    elif problem == "resource":
+        template.generate_random_instance(n_demands=size, n_resources=max(
+            2, size // 3), seed=seed)
+    elif problem == "coordination":
+        template.generate_random_instance(n_tasks=size, n_agents=max(
+            2, size // 2), seed=seed)
+    else:
+        template.generate_random_instance(n_tasks=size, n_agents=max(
+            2, size // 3), seed=seed)
+    return template
+
+
+@main.command()
+@click.option("-p", "--problem", default="tsp", help="problem kind")
+@click.option("-s", "--size", default=10, help="instance size")
+@click.option("-a", "--algorithm", default="sa",
+              type=click.Choice(["sa", "pt"]))
+@click.option("--sweeps", default=1000)
+@click.option("--replicas", default=32)
+@click.option("--schedule", default="geometric")
+@click.option("--seed", default=42)
+@click.option("-o", "--output", default=None, help="save solution JSON")
+@click.option("--quiet", is_flag=True)
+def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
+          quiet):
+    """Solve a randomly generated problem instance (reference cli.py:42-155)."""
+    from spinglass_tpu.anneal import pt as pt_mod
+    from spinglass_tpu.anneal.sa import SAConfig
+    from spinglass_tpu.anneal.schedules import ScheduleConfig, ScheduleType
+
+    template = _make_problem(problem, size, seed)
+    if algorithm == "sa":
+        cfg = SAConfig(n_sweeps=sweeps, n_replicas=replicas,
+                       schedule=ScheduleConfig(
+                           schedule_type=ScheduleType(schedule),
+                           initial_temp=5.0, final_temp=0.01,
+                           total_sweeps=sweeps),
+                       seed=seed)
+        sol = template.solve(cfg)
+    else:
+        template.encode_to_ising()
+        res = pt_mod.run(template.problem,
+                         pt_mod.PTConfig(n_replicas=replicas, n_sweeps=sweeps,
+                                         seed=seed))
+        sol = template.decode_solution(res.best_spins)
+        sol.energy = res.best_energy
+        sol.metadata["anneal"] = res.summary()
+    if not quiet:
+        click.echo(f"objective: {sol.objective_value:.4f}")
+        click.echo(f"energy:    {sol.energy:.4f}")
+        click.echo(f"feasible:  {sol.is_feasible}")
+        if sol.constraint_violations:
+            click.echo(f"violations: {sol.n_violations}")
+    if output:
+        with open(output, "w") as f:
+            f.write(sol.to_json())
+        click.echo(f"saved to {output}")
+
+
+@main.command()
+@click.option("--sizes", default="20,50")
+@click.option("--sweeps", default=500)
+@click.option("--trials", default=2)
+@click.option("-o", "--output", default="benchmark_results.json")
+def benchmark(sizes, sweeps, trials, output):
+    """Run the standard benchmark suite (reference cli.py:158-199)."""
+    from spinglass_tpu.benchmarks.runner import BenchmarkRunner, standard_suite
+
+    sizes_t = tuple(int(s) for s in sizes.split(","))
+    runner = BenchmarkRunner(n_sweeps=sweeps, n_trials=trials)
+    runner.run_suite(standard_suite(sizes_t))
+    runner.save(output)
+    for k, v in runner.summary().items():
+        click.echo(f"{k}: best={v['best_objective']:.3f} "
+                   f"time={v['mean_time']:.2f}s "
+                   f"flips/s={v['mean_flips_per_sec']:.2e}")
+    click.echo(f"full results → {output}")
+
+
+@main.command()
+@click.option("-n", "--n-spins", default=64)
+@click.option("--topology", "topo", default="fully_connected",
+              type=click.Choice(["fully_connected", "grid", "chain",
+                                 "random", "small_world", "scale_free"]))
+@click.option("--dist", default="gaussian")
+@click.option("--sweeps", default=1000)
+@click.option("--replicas", default=32)
+@click.option("--seed", default=42)
+@click.option("-o", "--output", default=None, help="save result npz")
+def ising(n_spins, topo, dist, sweeps, replicas, seed, output):
+    """Anneal a raw random Ising instance (reference cli.py:202-245)."""
+    from spinglass_tpu.anneal.sa import SAConfig, anneal
+    from spinglass_tpu.core import topology as T
+    from spinglass_tpu.core.problem import IsingProblem
+
+    builders = {
+        "fully_connected": lambda: T.fully_connected(
+            n_spins, dist=dist, scale=1.0 / np.sqrt(n_spins), seed=seed),
+        "grid": lambda: T.grid_2d(int(np.sqrt(n_spins)),
+                                  int(np.sqrt(n_spins)), dist=dist, seed=seed),
+        "chain": lambda: T.chain(n_spins, dist=dist, seed=seed),
+        "random": lambda: T.random_graph(n_spins, dist=dist, seed=seed),
+        "small_world": lambda: T.small_world(n_spins, dist=dist, seed=seed),
+        "scale_free": lambda: T.scale_free(n_spins, dist=dist, seed=seed),
+    }
+    problem = IsingProblem.from_dense(builders[topo]())
+    res = anneal(problem, SAConfig(n_sweeps=sweeps, n_replicas=replicas,
+                                   seed=seed))
+    click.echo(f"best energy: {res.best_energy:.4f}")
+    click.echo(f"sweeps/s:    {res.sweeps_per_second:.1f}")
+    click.echo(f"flips/s:     {res.spin_flips_per_second:.2e}")
+    click.echo(f"algorithm:   {res.algorithm}")
+    if output:
+        res.save(output)
+        click.echo(f"saved to {output}")
+
+
+@main.command()
+@click.argument("path", type=click.Path(exists=True))
+def load(path):
+    """Inspect a saved AnnealResult npz (reference cli.py load)."""
+    from spinglass_tpu.anneal.result import AnnealResult
+
+    res = AnnealResult.load(path)
+    click.echo(json.dumps(res.summary(), indent=2))
+
+
+@main.command()
+def health():
+    """Run the framework health checks."""
+    from spinglass_tpu.utils.health import HealthMonitor
+
+    report = HealthMonitor().run()
+    click.echo(json.dumps(report, indent=2))
+    sys.exit(0 if report["status"] != "unhealthy" else 1)
+
+
+@main.command("train-rl")
+@click.option("--agent", default="ppo", type=click.Choice(["ppo", "dqn"]))
+@click.option("--updates", default=50)
+@click.option("--envs", default=32)
+@click.option("--spins", default=64)
+@click.option("--checkpoint-dir", default=None)
+def train_rl(agent, updates, envs, spins, checkpoint_dir):
+    """Train the RL temperature controller on random instances."""
+    from spinglass_tpu.rl.env import EnvConfig
+    from spinglass_tpu.rl.train import (RLTrainingPipeline, TrainingConfig,
+                                        default_problem)
+
+    pipe = RLTrainingPipeline(
+        TrainingConfig(agent=agent, n_updates=updates,
+                       checkpoint_dir=checkpoint_dir),
+        env_cfg=EnvConfig(n_envs=envs),
+        problem=default_problem(spins))
+    out = pipe.train(verbose=True)
+    click.echo(f"env-steps/s: {out['env_steps_per_second']:.1f}")
+
+
+if __name__ == "__main__":
+    main()

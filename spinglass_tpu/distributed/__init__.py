@@ -1,0 +1,1 @@
+from spinglass_tpu.distributed import pt_sharded, rl_sharded

@@ -1,0 +1,16 @@
+from spinglass_tpu.research.quantum import (
+    SQAConfig, PIMCConfig, simulated_quantum_annealing,
+    path_integral_monte_carlo, trotterize, j_perp,
+)
+from spinglass_tpu.research.novel import (
+    AQIAConfig, MSHOConfig, LESDConfig,
+    adaptive_quantum_inspired_annealing, multi_scale_optimization,
+    learning_enhanced_dynamics, compare_algorithms, ALGORITHM_REGISTRY,
+)
+from spinglass_tpu.research.validation import (
+    ExperimentalValidation, welch_t, cohens_d, bootstrap_ci,
+)
+from spinglass_tpu.research.pareto import (
+    ParetoArchive, MultiObjectiveConfig, optimize as pareto_optimize,
+    dominates,
+)

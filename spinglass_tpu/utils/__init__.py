@@ -1,0 +1,9 @@
+from spinglass_tpu.utils.exceptions import (
+    SpinGlassError, ModelError, AnnealingError, DeviceError, ValidationError,
+    ConvergenceError, CheckpointError,
+)
+from spinglass_tpu.utils.logging import (
+    setup_logger, get_logger, PerformanceLogger, ProgressLogger,
+)
+from spinglass_tpu.utils import validation, monitoring, health, checkpoint
+from spinglass_tpu.utils.robust import robust_operation

@@ -1,0 +1,90 @@
+"""CLI + benchmark-runner integration tests (reference CLI tests idea)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from spinglass_tpu.cli import main
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+class TestCLI:
+    def test_solve_tsp(self, runner, tmp_path):
+        out_path = str(tmp_path / "sol.json")
+        result = runner.invoke(main, [
+            "solve", "-p", "tsp", "-s", "5", "--sweeps", "200",
+            "--replicas", "8", "-o", out_path])
+        assert result.exit_code == 0, result.output
+        assert "objective:" in result.output
+        sol = json.loads(open(out_path).read())
+        assert sorted(sol["variables"]["tour"]) == [0, 1, 2, 3, 4]
+
+    def test_solve_unknown_problem(self, runner):
+        result = runner.invoke(main, ["solve", "-p", "nope"])
+        assert result.exit_code != 0
+        assert "unknown problem" in result.output
+
+    def test_ising_command(self, runner, tmp_path):
+        out_path = str(tmp_path / "res.npz")
+        result = runner.invoke(main, [
+            "ising", "-n", "16", "--topology", "chain", "--sweeps", "100",
+            "--replicas", "4", "-o", out_path])
+        assert result.exit_code == 0, result.output
+        assert "best energy:" in result.output
+        assert os.path.exists(out_path)
+
+    def test_load_command(self, runner, tmp_path):
+        out_path = str(tmp_path / "res.npz")
+        runner.invoke(main, ["ising", "-n", "12", "--sweeps", "50",
+                             "--replicas", "4", "-o", out_path])
+        result = runner.invoke(main, ["load", out_path])
+        assert result.exit_code == 0
+        parsed = json.loads(result.output)
+        assert "best_energy" in parsed
+
+    def test_health_command(self, runner):
+        result = runner.invoke(main, ["health"])
+        assert result.exit_code == 0, result.output
+        rep = json.loads(result.output)
+        assert rep["status"] in ("healthy", "degraded")
+
+    @pytest.mark.slow
+    def test_benchmark_command(self, runner, tmp_path):
+        out_path = str(tmp_path / "bench.json")
+        result = runner.invoke(main, [
+            "benchmark", "--sizes", "10", "--sweeps", "50", "--trials", "1",
+            "-o", out_path])
+        assert result.exit_code == 0, result.output
+        data = json.loads(open(out_path).read())
+        assert data["results"]
+
+
+class TestBenchmarkRunner:
+    def test_runner_one_case(self):
+        from spinglass_tpu.benchmarks.runner import (BenchmarkCase,
+                                                     BenchmarkRunner)
+        from spinglass_tpu.problems import MaxCutProblem
+
+        def mk():
+            p = MaxCutProblem()
+            p.generate_random_instance(n_nodes=10, seed=0)
+            return p
+
+        runner = BenchmarkRunner(n_sweeps=50, n_replicas=8, n_trials=2,
+                                 use_pallas="never")
+        results = runner.run_case(BenchmarkCase("mc10", mk, 10, "maxcut"),
+                                  algorithms=("sa",))
+        assert len(results) == 2
+        assert all(np.isfinite(r.best_energy) for r in results)
+        summary = runner.summary()
+        assert "maxcut/sa" in summary
+        assert summary["maxcut/sa"]["n"] == 2
