@@ -76,6 +76,66 @@ class TestShardedPT:
         assert len(state.spins.sharding.device_set) == mesh.devices.size
 
 
+class TestModelSharded:
+    """Spin-sharded (model-parallel) sweeps must match the single-device
+    reference exactly — the property the reference's model_parallel mode
+    lacked (it dropped cross-block couplings, multi_gpu.py:169-232)."""
+
+    def test_blocked_sharded_exact(self, mesh):
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.distributed import model_sharded as MS
+        from spinglass_tpu.kernels import sweeps as K
+
+        mesh = MS.make_mesh(mesh.devices.ravel())
+        n = 1024 - 50  # exercise padding
+        j = topology.fully_connected(n, dist="gaussian", scale=0.05, seed=0)
+        p = IsingProblem.from_dense(j)
+        k1, k2 = jax.random.split(jax.random.key(0))
+        spins = random_spins(k1, (3, p.n_padded), p.active_mask)
+        u = jax.random.uniform(k2, (3, p.n_padded))
+        beta = jnp.float32(0.8)
+        s_ref, de_ref, cnt_ref = K.blocked_sweep(p, spins, beta, u,
+                                                 block_size=128)
+        p_sh = MS.shard_problem_rows(p, mesh)
+        s_sh, de_sh, cnt_sh = MS.blocked_sweep_sharded(
+            p_sh, mesh, spins, beta, u, block_size=128)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_sh))
+        np.testing.assert_array_equal(np.asarray(cnt_ref), np.asarray(cnt_sh))
+        np.testing.assert_allclose(np.asarray(de_ref), np.asarray(de_sh),
+                                   atol=1e-2)
+
+    def test_colored_sharded_exact(self, mesh):
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.distributed import model_sharded as MS
+        from spinglass_tpu.kernels import sweeps as K
+
+        mesh = MS.make_mesh(mesh.devices.ravel())
+        j = topology.grid_2d(32, 32, dist="binary", seed=1)
+        p = IsingProblem.from_dense(j)
+        colors = topology.greedy_coloring(j)
+        masks = K.color_masks_from_colors(colors, p.n_padded)
+        k1, k2 = jax.random.split(jax.random.key(5))
+        spins = random_spins(k1, (3, p.n_padded), p.active_mask)
+        u = jax.random.uniform(k2, (3, p.n_padded))
+        beta = jnp.float32(0.8)
+        s_ref, _, cnt_ref = K.colored_sweep(p, masks, spins, beta, u)
+        s_sh, _, cnt_sh = MS.colored_sweep_sharded(p, mesh, masks, spins,
+                                                   beta, u)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_sh))
+        np.testing.assert_array_equal(np.asarray(cnt_ref), np.asarray(cnt_sh))
+
+    def test_invalid_division_rejected(self, mesh):
+        from spinglass_tpu.distributed import model_sharded as MS
+
+        mesh = MS.make_mesh(mesh.devices.ravel())
+        p = _problem(32)  # padded 128; 128/8 = 16 rows < block 128
+        with pytest.raises(ValueError):
+            MS.blocked_sweep_sharded(
+                MS.shard_problem_rows(p, mesh), mesh,
+                jnp.ones((2, p.n_padded)), jnp.float32(1.0),
+                jnp.zeros((2, p.n_padded)), block_size=128)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import __graft_entry__ as ge
