@@ -43,6 +43,15 @@ class SweepEngine:
     def from_layout(self, spins: jax.Array) -> jax.Array:
         return spins.T if self.layout == "nr" else spins
 
+    def energy(self, spins: jax.Array) -> jax.Array:
+        """Exact energies in this engine's layout (sparse engines override
+        to avoid any dense matmul)."""
+        from spinglass_tpu.core import energy as energy_ops
+
+        if self.layout == "nr":
+            return energy_ops.energy_t(self.problem, spins)
+        return energy_ops.energy(self.problem, spins)
+
     def sweep(self, spins, beta, key):
         raise NotImplementedError
 
@@ -104,12 +113,29 @@ class PallasEngine(SweepEngine):
         return self.fused(spins_t, beta, seed)
 
 
+SPARSE_DENSITY_THRESHOLD = 0.05
+SPARSE_MIN_SPINS = 2048
+
+
 def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
                 update_rule: str = "metropolis", block_size: int = 128,
                 use_pallas: str = "auto",
                 max_colors: int = 8) -> SweepEngine:
     """Pick the sweep engine (replaces the reference's CUDA-vs-torch dispatch,
     annealing/gpu_annealer.py:199-234 / cuda_kernels.py:150-171)."""
+    from spinglass_tpu.kernels.sparse import EllProblem, SparseEngine
+
+    if isinstance(problem, EllProblem):
+        return SparseEngine(problem, rule=update_rule)
+    if sweep_method == "sparse" or (
+            sweep_method == "auto"
+            and problem.n_spins >= SPARSE_MIN_SPINS
+            and topology.density(
+                np.asarray(problem.j)[: problem.n_spins, : problem.n_spins])
+            < SPARSE_DENSITY_THRESHOLD):
+        from spinglass_tpu.kernels.sparse import SparseEngine
+
+        return SparseEngine(problem, rule=update_rule)
     if sweep_method in ("auto", "colored"):
         j_np = np.asarray(problem.j)[: problem.n_spins, : problem.n_spins]
         try:

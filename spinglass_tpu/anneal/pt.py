@@ -88,8 +88,8 @@ def temperature_ladder(cfg: PTConfig) -> np.ndarray:
 
 
 def _energy_in_layout(problem, engine, spins):
-    if engine is not None and engine.layout == "nr":
-        return energy_ops.energy_t(problem, spins)
+    if engine is not None:
+        return engine.energy(spins)
     return energy_ops.energy(problem, spins)
 
 

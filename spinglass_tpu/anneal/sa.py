@@ -83,9 +83,7 @@ def make_sweep_engine(problem: IsingProblem, config: SAConfig) -> SweepEngine:
 
 def _energy_in_layout(problem: IsingProblem, engine: SweepEngine,
                       spins: jax.Array) -> jax.Array:
-    if engine.layout == "nr":
-        return energy_ops.energy_t(problem, spins)
-    return energy_ops.energy(problem, spins)
+    return engine.energy(spins)
 
 
 def init_state(problem: IsingProblem, config: SAConfig, engine: SweepEngine,

@@ -126,13 +126,12 @@ class IsingProblem:
         cost per SURVEY §3.1). quad terms are accumulated symmetrically:
         J[i, j] += v and J[j, i] += v.
         """
-        j = np.zeros((n_spins, n_spins), dtype=np.float64)
         qi = np.asarray(quad_i, dtype=np.int64)
         qj = np.asarray(quad_j, dtype=np.int64)
         qv = np.asarray(quad_val, dtype=np.float64)
-        np.add.at(j, (qi, qj), qv)
-        np.add.at(j, (qj, qi), qv)
-        np.fill_diagonal(j, 0.0)
+        from spinglass_tpu import native
+
+        j = native.scatter_add_symmetric(qi, qj, qv, n_spins)
         h = np.zeros((n_spins,), dtype=np.float64)
         if lin_i is not None:
             np.add.at(h, np.asarray(lin_i, dtype=np.int64), np.asarray(lin_val, dtype=np.float64))

@@ -150,6 +150,55 @@ def scale_free(n: int, *, m: int = 3, dist: str = "gaussian", scale: float = 1.0
     return _from_edges(n, rows, cols, vals)
 
 
+def sparse_random_graph_coo(n: int, *, avg_degree: float = 6.0,
+                            dist: str = "binary", scale: float = 1.0,
+                            seed: int = 0):
+    """Large sparse Erdos-Renyi instance as COO — O(edges), no dense [N, N]
+    intermediate (use for 10k+ spins; `random_graph` materializes all pairs).
+
+    Returns (rows, cols, vals) with BOTH directions present (symmetric)."""
+    rng = np.random.default_rng(seed)
+    n_edges = int(n * avg_degree / 2)
+    a = rng.integers(0, n, int(n_edges * 1.3))
+    b = rng.integers(0, n, int(n_edges * 1.3))
+    keep = a != b
+    a, b = a[keep], b[keep]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    uniq = np.unique(lo * n + hi)[:n_edges]
+    lo, hi = uniq // n, uniq % n
+    vals = _sample(rng, len(lo), dist, scale)
+    rows = np.concatenate([lo, hi])
+    cols = np.concatenate([hi, lo])
+    return rows.astype(np.int64), cols.astype(np.int64), np.tile(vals, 2)
+
+
+def greedy_coloring_coo(rows: np.ndarray, cols: np.ndarray, n: int,
+                        max_colors: int = 256) -> np.ndarray:
+    """Greedy coloring straight from symmetric COO (no dense matrix)."""
+    from spinglass_tpu import native
+
+    order = np.argsort(rows, kind="stable")
+    r_s, c_s = np.asarray(rows)[order], np.asarray(cols)[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, r_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    if native.available():
+        return native.greedy_coloring_csr(indptr, c_s.astype(np.int64), n,
+                                          max_colors)
+    colors = np.full(n, -1, dtype=np.int64)
+    deg = np.diff(indptr)
+    for v in np.argsort(-deg, kind="stable"):
+        nb = c_s[indptr[v]:indptr[v + 1]]
+        used = set(colors[nb][colors[nb] >= 0].tolist())
+        c = 0
+        while c in used:
+            c += 1
+        if c >= max_colors:
+            raise ValueError(f"graph needs >{max_colors} colors")
+        colors[v] = c
+    return colors
+
+
 # ---- graph analysis (reference coupling_matrix.py:302-356) -------------------
 
 def density(j: np.ndarray) -> float:
@@ -174,8 +223,27 @@ def greedy_coloring(j: np.ndarray, max_colors: int = 256) -> np.ndarray:
     vertices, so a sweep may propose flips for a whole color class at once with
     exact Metropolis semantics. 2D grids get 2 colors; dense J degenerates to N
     colors (use the blocked-sequential sweep there instead).
+
+    Uses the native C++ CSR kernel (spinglass_tpu.native) when available; the
+    Python loop below is the fallback and the reference implementation.
     """
     n = j.shape[0]
+    try:
+        from spinglass_tpu import native
+
+        if native.available() and n > 0:
+            rows, cols = np.nonzero(j)
+            indptr = np.zeros(n + 1, np.int64)
+            np.add.at(indptr, rows + 1, 1)
+            indptr = np.cumsum(indptr)
+            return native.greedy_coloring_csr(indptr, cols.astype(np.int64),
+                                              n, max_colors)
+    except ValueError:
+        raise ValueError(
+            f"graph needs >{max_colors} colors; use the blocked sweep for "
+            "dense J")
+    except Exception:
+        pass  # fall through to the Python implementation
     colors = np.full(n, -1, dtype=np.int64)
     order = np.argsort(-np.count_nonzero(j, axis=1), kind="stable")  # high degree first
     adj = [np.nonzero(j[i])[0] for i in range(n)]

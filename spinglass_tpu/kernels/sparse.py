@@ -1,0 +1,190 @@
+"""Sparse (ELL / padded-neighbor-list) sweep engine for large sparse instances.
+
+SURVEY §7 hard part 2: for 10k+ spins with sparse J the dense [N, N] matmul
+wastes O(N^2) HBM traffic on zeros. The ELL layout stores, per spin, a fixed
+K = max-degree list of (neighbor index, coupling value), padded with
+self-loops of value 0; local fields become a gather + K-reduction
+
+    f[r, i] = sum_k val[i, k] * s[r, idx[i, k]] + h[i]
+
+which XLA lowers to vectorized dynamic-gathers on TPU. Sweeps are colored
+(greedy coloring of a sparse graph needs <= max_degree + 1 colors), giving
+exact Metropolis with C sparse-field passes per sweep — O(C * R * N * K)
+work instead of the dense O(C * R * N^2)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from spinglass_tpu.core import topology
+from spinglass_tpu.core.problem import IsingProblem, round_up
+from spinglass_tpu.kernels.sweeps import accept_prob, color_masks_from_colors
+
+
+@struct.dataclass
+class EllProblem:
+    """ELL-format sparse Ising problem pytree.
+
+    idx [Np, K] int32 neighbor indices (self-index on padding slots),
+    val [Np, K] coupling values (0 on padding), h [Np], active_mask [Np]."""
+
+    idx: jax.Array
+    val: jax.Array
+    h: jax.Array
+    active_mask: jax.Array
+    n_spins: int = struct.field(pytree_node=False)
+
+    @property
+    def n_padded(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.idx.shape[1]
+
+    @staticmethod
+    def from_coo(n_spins: int, rows, cols, vals, h=None,
+                 max_degree: Optional[int] = None) -> "EllProblem":
+        """Dense-free constructor from symmetric COO (both directions
+        present) — THE path for 10k+ sparse instances (no [N, N] matrix is
+        ever materialized)."""
+        from spinglass_tpu import native
+
+        n_pad = round_up(n_spins)
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        vals = np.asarray(vals, np.float64)
+        degs = np.bincount(rows, minlength=n_pad)
+        k = int(max_degree or max(int(degs.max()), 1))
+        idx, val, _ = native.build_ell(rows, cols, vals, n_pad, k)
+        if h is None:
+            h_full = np.zeros(n_pad, np.float32)
+        else:
+            h_full = np.zeros(n_pad, np.float32)
+            h_full[:n_spins] = np.asarray(h, np.float32)
+        mask = np.zeros(n_pad, np.float32)
+        mask[:n_spins] = 1.0
+        return EllProblem(idx=jnp.asarray(idx), val=jnp.asarray(val),
+                          h=jnp.asarray(h_full),
+                          active_mask=jnp.asarray(mask), n_spins=n_spins)
+
+    @staticmethod
+    def from_problem(problem: IsingProblem,
+                     max_degree: Optional[int] = None) -> "EllProblem":
+        """Convert a dense IsingProblem (host-side, once per problem).
+        Uses the native C++ COO->ELL builder when available."""
+        from spinglass_tpu import native
+
+        n = problem.n_spins
+        n_pad = problem.n_padded
+        j = np.asarray(problem.j)[:n, :n]
+        degs = (j != 0).sum(axis=1)
+        k = int(max_degree or max(int(degs.max()), 1))
+        rows, cols = np.nonzero(j)
+        idx, val, _ = native.build_ell(rows, cols, j[rows, cols], n_pad, k)
+        return EllProblem(
+            idx=jnp.asarray(idx),
+            val=jnp.asarray(val),
+            h=problem.h,
+            active_mask=problem.active_mask,
+            n_spins=n,
+        )
+
+
+def sparse_local_fields(ell: EllProblem, spins: jax.Array) -> jax.Array:
+    """[R, Np] -> [R, Np]: gather neighbors, multiply, reduce K."""
+    gathered = spins[:, ell.idx]                   # [R, Np, K]
+    f = jnp.einsum("rnk,nk->rn", gathered,
+                   ell.val.astype(jnp.float32))
+    return f + ell.h.astype(jnp.float32)[None, :]
+
+
+def sparse_energy(ell: EllProblem, spins: jax.Array) -> jax.Array:
+    """E = -1/2 s.f_J - h.s  (f_J excludes h)."""
+    f_j = sparse_local_fields(ell, spins) - ell.h.astype(jnp.float32)[None, :]
+    s32 = spins.astype(jnp.float32)
+    return (-0.5 * jnp.sum(s32 * f_j, axis=-1)
+            - jnp.sum(s32 * ell.h.astype(jnp.float32)[None, :], axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("rule",))
+def sparse_colored_sweep(
+    ell: EllProblem,
+    color_masks: jax.Array,   # [C, Np]
+    spins: jax.Array,         # [R, Np]
+    beta: jax.Array,
+    uniforms: jax.Array,      # [R, Np]
+    rule: str = "metropolis",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One exact colored sweep with sparse fields."""
+    r = spins.shape[0]
+    beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+    active = ell.active_mask > 0
+
+    def body(carry, mask):
+        spins, de_acc, cnt = carry
+        f = sparse_local_fields(ell, spins)
+        de = 2.0 * spins.astype(jnp.float32) * f
+        p = accept_prob(de, beta[:, None], rule)
+        acc = (uniforms < p) & (mask > 0)[None, :] & active[None, :]
+        spins = jnp.where(acc, -spins, spins)
+        de_acc = de_acc + jnp.sum(jnp.where(acc, de, 0.0), axis=-1)
+        cnt = cnt + jnp.sum(acc, axis=-1).astype(jnp.int32)
+        return (spins, de_acc, cnt), None
+
+    init = (spins, jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.int32))
+    (spins, de_acc, cnt), _ = lax.scan(body, init, color_masks)
+    return spins, de_acc, cnt
+
+
+class SparseEngine:
+    """Sweep engine over ELL problems (engines.SweepEngine contract,
+    layout 'rn'). Selected automatically for low-density large instances;
+    also constructible dense-free from an EllProblem (anneal() accepts
+    EllProblem directly)."""
+
+    layout = "rn"
+    name = "sparse_colored"
+
+    def __init__(self, problem, rule: str = "metropolis",
+                 max_colors: int = 256):
+        self.problem = problem
+        self.rule = rule
+        if isinstance(problem, EllProblem):
+            self.ell = problem
+            idx = np.asarray(problem.idx)
+            val = np.asarray(problem.val)
+            rows_l, cols_l = np.nonzero(val)
+            rows = rows_l.astype(np.int64)
+            cols = idx[rows_l, cols_l].astype(np.int64)
+            colors = topology.greedy_coloring_coo(rows, cols,
+                                                  problem.n_spins,
+                                                  max_colors=max_colors)
+        else:
+            self.ell = EllProblem.from_problem(problem)
+            n = problem.n_spins
+            j_np = np.asarray(problem.j)[:n, :n]
+            colors = topology.greedy_coloring(j_np, max_colors=max_colors)
+        self.n_colors = int(colors.max()) + 1 if colors.size else 1
+        self.masks = color_masks_from_colors(colors, problem.n_padded)
+
+    def energy(self, spins):
+        return sparse_energy(self.ell, spins)
+
+    def to_layout(self, spins_rn):
+        return spins_rn
+
+    def from_layout(self, spins):
+        return spins
+
+    def sweep(self, spins, beta, key):
+        uniforms = jax.random.uniform(key, spins.shape, jnp.float32)
+        return sparse_colored_sweep(self.ell, self.masks, spins, beta,
+                                    uniforms, rule=self.rule)

@@ -1,0 +1,210 @@
+"""Sparse ELL engine + Wolff cluster tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spinglass_tpu.anneal.engines import make_engine
+from spinglass_tpu.core import cluster as W
+from spinglass_tpu.core import energy as E
+from spinglass_tpu.core import topology
+from spinglass_tpu.core.problem import IsingProblem, random_spins
+from spinglass_tpu.kernels import sparse as S
+from spinglass_tpu.kernels import sweeps as K
+
+
+class TestSparse:
+    def _sparse_problem(self, n=200, density=0.02, seed=0):
+        j = topology.random_graph(n, density=density, seed=seed)
+        h = np.random.default_rng(seed).normal(0, 0.2, n)
+        return IsingProblem.from_dense(j, h)
+
+    def test_ell_fields_match_dense(self, key):
+        p = self._sparse_problem()
+        ell = S.EllProblem.from_problem(p)
+        s = random_spins(key, (4, p.n_padded), p.active_mask)
+        np.testing.assert_allclose(
+            np.asarray(S.sparse_local_fields(ell, s)),
+            np.asarray(E.local_fields(p, s)), rtol=1e-4, atol=1e-4)
+
+    def test_ell_energy_matches_dense(self, key):
+        p = self._sparse_problem()
+        ell = S.EllProblem.from_problem(p)
+        s = random_spins(key, (4, p.n_padded), p.active_mask)
+        np.testing.assert_allclose(np.asarray(S.sparse_energy(ell, s)),
+                                   np.asarray(E.energy(p, s)),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_sparse_sweep_matches_dense_colored(self, key):
+        """Sparse colored sweep must make identical flip decisions to the
+        dense colored sweep (same uniforms, same coloring)."""
+        p = self._sparse_problem(150, 0.03, seed=2)
+        n = p.n_spins
+        colors = topology.greedy_coloring(np.asarray(p.j)[:n, :n])
+        masks = K.color_masks_from_colors(colors, p.n_padded)
+        ell = S.EllProblem.from_problem(p)
+        k1, k2 = jax.random.split(key)
+        spins = random_spins(k1, (4, p.n_padded), p.active_mask)
+        u = jax.random.uniform(k2, (4, p.n_padded))
+        beta = jnp.float32(0.7)
+        s_d, de_d, cnt_d = K.colored_sweep(p, masks, spins, beta, u)
+        s_s, de_s, cnt_s = S.sparse_colored_sweep(ell, masks, spins, beta, u)
+        np.testing.assert_array_equal(np.asarray(s_d), np.asarray(s_s))
+        np.testing.assert_array_equal(np.asarray(cnt_d), np.asarray(cnt_s))
+        np.testing.assert_allclose(np.asarray(de_d), np.asarray(de_s),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_engine_autoselects_sparse(self):
+        j = topology.random_graph(2100, density=0.004, seed=1)
+        p = IsingProblem.from_dense(j)
+        eng = make_engine(p)
+        assert eng.name == "sparse_colored"
+        # and a dense problem of the same size stays dense
+        jd = topology.fully_connected(256, dist="binary", seed=0)
+        eng2 = make_engine(IsingProblem.from_dense(jd))
+        assert eng2.name != "sparse_colored"
+
+    def test_sparse_anneal_end_to_end(self):
+        """2048-spin ring ferromagnet: SA with the sparse engine reaches the
+        exact ground state -N."""
+        from spinglass_tpu.anneal.sa import SAConfig, anneal
+        from spinglass_tpu.anneal.schedules import ScheduleConfig
+
+        n = 2048
+        j = topology.chain(n, periodic=True, dist="ferromagnetic", scale=1.0)
+        p = IsingProblem.from_dense(j)
+        res = anneal(p, SAConfig(
+            n_sweeps=300, n_replicas=8, sweep_method="sparse",
+            schedule=ScheduleConfig(initial_temp=2.0, final_temp=0.01),
+            use_pallas="never", seed=0))
+        assert "sparse" in res.algorithm
+        # 1D FM coarsening leaves a few domain walls in finite sweeps;
+        # demand >=97% of the exact ground state -N
+        assert res.best_energy <= -0.97 * n
+
+
+class TestDenseFreeSparse:
+    def test_from_coo_matches_dense_conversion(self, key):
+        """EllProblem.from_coo must equal the via-dense conversion."""
+        n = 60
+        j = topology.random_graph(n, density=0.08, seed=4)
+        p = IsingProblem.from_dense(j)
+        rows, cols = np.nonzero(j)
+        ell_coo = S.EllProblem.from_coo(n, rows, cols, j[rows, cols])
+        s = random_spins(key, (3, p.n_padded), p.active_mask)
+        np.testing.assert_allclose(
+            np.asarray(S.sparse_energy(ell_coo, s)),
+            np.asarray(E.energy(p, s)), rtol=1e-4, atol=1e-3)
+
+    def test_anneal_accepts_ell_problem(self):
+        """anneal() on an EllProblem directly — no dense matrix anywhere."""
+        from spinglass_tpu.anneal.sa import SAConfig, anneal
+
+        n = 3000
+        rows, cols, vals = topology.sparse_random_graph_coo(
+            n, avg_degree=4, dist="ferromagnetic", seed=2)
+        from spinglass_tpu.anneal.schedules import ScheduleConfig
+
+        ell = S.EllProblem.from_coo(n, rows, cols, vals)
+        res = anneal(ell, SAConfig(
+            n_sweeps=200, n_replicas=4, use_pallas="never",
+            schedule=ScheduleConfig(initial_temp=2.0, final_temp=0.02,
+                                    alpha=0.97),
+            enable_early_stop=False))
+        assert "sparse" in res.algorithm
+        # FM sparse graph: best energy ~ -n_edges (most edges satisfied)
+        n_edges = len(rows) // 2
+        assert res.best_energy < -0.8 * n_edges
+
+    def test_sparse_random_graph_coo_shape(self):
+        rows, cols, vals = topology.sparse_random_graph_coo(
+            1000, avg_degree=6, seed=0)
+        assert len(rows) == len(cols) == len(vals)
+        assert np.all(rows != cols)
+        # symmetric: every (r, c) has its (c, r)
+        fwd = set(zip(rows.tolist(), cols.tolist()))
+        assert all((c, r) in fwd for r, c in list(fwd)[:100])
+
+    def test_coloring_coo_valid(self):
+        rows, cols, _ = topology.sparse_random_graph_coo(500, avg_degree=5,
+                                                         seed=1)
+        colors = topology.greedy_coloring_coo(rows, cols, 500)
+        assert np.all(colors[rows] != colors[cols])
+
+
+class TestWolff:
+    def test_cluster_flip_preserves_spin_validity(self, key):
+        j = topology.grid_2d(6, 6, dist="ferromagnetic")
+        p = IsingProblem.from_dense(j)
+        s = random_spins(key, (4, p.n_padded), p.active_mask)
+        s2, size = W.wolff_update(p, s, jnp.float32(0.8), jax.random.key(1))
+        assert np.all(np.abs(np.asarray(s2)) == 1.0)
+        assert np.all(np.asarray(size) >= 1)
+
+    def test_aligned_ferromagnet_cold_flips_everything(self):
+        """At low T on a fully aligned FM, the cluster is the whole system
+        (energy invariant under global flip)."""
+        n = 16
+        j = topology.fully_connected(n, dist="ferromagnetic", scale=1.0)
+        p = IsingProblem.from_dense(j)
+        s = jnp.ones((2, p.n_padded))
+        e0 = E.energy(p, s)
+        s2, size = W.wolff_update(p, s, jnp.float32(20.0), jax.random.key(0))
+        assert np.all(np.asarray(size) == n)
+        np.testing.assert_allclose(np.asarray(E.energy(p, s2)),
+                                   np.asarray(e0), rtol=1e-5)
+        assert np.all(np.asarray(s2[:, :n]) == -1.0)
+
+    def test_hot_cluster_is_single_spin(self, key):
+        j = topology.grid_2d(8, 8, dist="ferromagnetic")
+        p = IsingProblem.from_dense(j)
+        s = random_spins(key, (8, p.n_padded), p.active_mask)
+        _, size = W.wolff_update(p, s, jnp.float32(1e-4), jax.random.key(2))
+        assert np.all(np.asarray(size) <= 2)
+
+    def test_wolff_sweep_energy_bookkeeping(self, key):
+        j = topology.grid_2d(6, 6, dist="binary", seed=3)
+        p = IsingProblem.from_dense(j)
+        s = random_spins(key, (3, p.n_padded), p.active_mask)
+        e0 = E.energy(p, s)
+        s2, de, flipped = W.wolff_sweep(p, s, jnp.float32(0.5),
+                                        jax.random.key(4), n_clusters=3)
+        np.testing.assert_allclose(np.asarray(e0 + de),
+                                   np.asarray(E.energy(p, s2)), atol=1e-3)
+        assert np.all(np.asarray(flipped) >= 3)
+
+    @pytest.mark.slow
+    def test_wolff_samples_boltzmann(self):
+        """Wolff on a small FM chain must reproduce the exact Boltzmann
+        distribution (detailed-balance check for cluster moves)."""
+        import itertools
+
+        n = 5
+        j = topology.chain(n, dist="ferromagnetic", scale=1.0)
+        p = IsingProblem.from_dense(j)
+        beta = 0.5
+        states = np.array(list(itertools.product([-1.0, 1.0], repeat=n)))
+        energies = np.array([-0.5 * s @ j @ s for s in states])
+        logw = -beta * energies
+        probs = np.exp(logw - logw.max()); probs /= probs.sum()
+
+        r = 256
+        s = random_spins(jax.random.key(0), (r, p.n_padded), p.active_mask)
+
+        @jax.jit
+        def step(s, k):
+            s2, _ = W.wolff_update(p, s, jnp.float32(beta), k)
+            return s2
+
+        samples = []
+        for i in range(400):
+            s = step(s, jax.random.key(i + 1))
+            if i >= 100:
+                samples.append(np.asarray(s[:, :n]))
+        samples = np.concatenate(samples)
+        codes = ((samples > 0) * 2 ** np.arange(n)).sum(axis=1).astype(int)
+        emp = np.bincount(codes, minlength=2 ** n) / len(codes)
+        state_codes = ((states > 0) * 2 ** np.arange(n)).sum(axis=1).astype(int)
+        tv = 0.5 * np.abs(emp[state_codes] - probs).sum()
+        assert tv < 0.05, f"TV={tv}"
