@@ -14,3 +14,9 @@ from spinglass_tpu.research.pareto import (
     ParetoArchive, MultiObjectiveConfig, optimize as pareto_optimize,
     dominates,
 )
+from spinglass_tpu.research.federated import (
+    FederatedAnnealingServer, FederatedConfig, ClientReport,
+)
+from spinglass_tpu.research.meta import (
+    MetaOptimizer, ScheduleMemory, characterize, select_algorithm,
+)

@@ -7,3 +7,4 @@ from spinglass_tpu.utils.logging import (
 )
 from spinglass_tpu.utils import validation, monitoring, health, checkpoint
 from spinglass_tpu.utils.robust import robust_operation
+from spinglass_tpu.utils import security, cache, profiling
