@@ -54,6 +54,17 @@ class SAConfig:
     use_pallas: str = "auto"                 # auto | never | always
     seed: int = 42
 
+    def __post_init__(self):
+        # keep the cooling horizon in sync with the sweep budget — otherwise
+        # short runs with the default schedule never cool (the schedule's own
+        # total_sweeps default is independent of n_sweeps)
+        import dataclasses as _dc
+
+        if self.schedule.total_sweeps != self.n_sweeps and self.n_sweeps > 0:
+            object.__setattr__(
+                self, "schedule",
+                _dc.replace(self.schedule, total_sweeps=self.n_sweeps))
+
 
 @struct.dataclass
 class SAState:

@@ -41,7 +41,10 @@ class ScheduleConfig:
     initial_temp: float = 10.0
     final_temp: float = 0.01
     total_sweeps: int = 1000
-    alpha: float = 0.99            # geometric decay
+    # geometric decay; None (default) solves alpha from the endpoints so the
+    # schedule actually reaches final_temp at total_sweeps — a fixed alpha
+    # only cools correctly for one specific horizon
+    alpha: Optional[float] = None
     power: float = 2.0             # power-law exponent
     target_acceptance: float = 0.44
     adaptation_rate: float = 0.05
@@ -78,7 +81,7 @@ def temperature_at(cfg: ScheduleConfig, t: jax.Array) -> jax.Array:
         lam = math.log(t0 / max(t1, 1e-12)) / total
         temp = t0 * jnp.exp(-lam * t)
     elif st == ScheduleType.GEOMETRIC:
-        temp = t0 * jnp.power(cfg.alpha, t)
+        temp = t0 * jnp.power(resolve_alpha(cfg), t)
     elif st == ScheduleType.LOGARITHMIC:
         temp = t0 * math.log(2.0) / jnp.log(2.0 + t)
     elif st == ScheduleType.POWER_LAW:
@@ -101,6 +104,15 @@ def temperature_at(cfg: ScheduleConfig, t: jax.Array) -> jax.Array:
     return jnp.maximum(temp, t1)
 
 
+def resolve_alpha(cfg: ScheduleConfig) -> float:
+    """Geometric decay rate: explicit, or solved so T(total) = final_temp."""
+    if cfg.alpha is not None:
+        return cfg.alpha
+    total = max(cfg.total_sweeps - 1, 1)
+    return float((max(cfg.final_temp, 1e-12) / cfg.initial_temp)
+                 ** (1.0 / total))
+
+
 def update(cfg: ScheduleConfig, state: ScheduleState, t: jax.Array,
            acceptance_rate: jax.Array) -> ScheduleState:
     """Advance the schedule by one sweep. Jittable; t is the sweep just finished."""
@@ -108,7 +120,7 @@ def update(cfg: ScheduleConfig, state: ScheduleState, t: jax.Array,
         ema = cfg.ema_decay * state.acc_ema + (1.0 - cfg.ema_decay) * acceptance_rate
         # geometric base decay, nudged toward the target acceptance rate
         # (reference temperature_scheduler.py:206-249)
-        base = state.temp * cfg.alpha
+        base = state.temp * resolve_alpha(cfg)
         adj = 1.0 + cfg.adaptation_rate * jnp.sign(ema - cfg.target_acceptance)
         temp = jnp.clip(base * adj, cfg.final_temp, cfg.initial_temp * 10.0)
         return ScheduleState(temp=temp, acc_ema=ema)

@@ -1,2 +1,6 @@
-from spinglass_tpu.core.problem import IsingProblem, random_spins
-from spinglass_tpu.core import energy, topology, constraints
+try:
+    from spinglass_tpu.core.problem import IsingProblem, random_spins
+    from spinglass_tpu.core import energy, topology, constraints
+except ImportError:  # no jax: only the stdlib-minimal tier is available
+    pass
+from spinglass_tpu.core import minimal

@@ -301,6 +301,17 @@ class ConstraintCompiler:
         """Per-constraint violations (reference constraints.py:312-330)."""
         return {c.name: c.violation(spins) for c in self.constraints}
 
+    def find_feasible(self, n_spins: int, n_attempts: int = 1000,
+                      seed: int = 0):
+        """Random search for a feasible configuration (reference
+        constraints.py:332-358). Returns spins or None."""
+        rng = np.random.default_rng(seed)
+        for _ in range(n_attempts):
+            s = rng.choice([-1.0, 1.0], n_spins)
+            if self.count_violations(s) == 0:
+                return s
+        return None
+
 
 def binary_quadratic_terms(
     quad_i=None, quad_j=None, quad_v=None,

@@ -216,6 +216,20 @@ def neighbors(j: np.ndarray, i: int) -> np.ndarray:
     return np.nonzero(j[i])[0]
 
 
+def to_networkx(j: np.ndarray):
+    """Coupling graph as a networkx.Graph with 'weight' edge attributes
+    (reference coupling_matrix.py:336-356). Requires networkx."""
+    import networkx as nx
+
+    g = nx.Graph()
+    n = j.shape[0]
+    g.add_nodes_from(range(n))
+    rows, cols = np.nonzero(np.triu(j, k=1))
+    g.add_weighted_edges_from(
+        (int(a), int(b), float(j[a, b])) for a, b in zip(rows, cols))
+    return g
+
+
 def greedy_coloring(j: np.ndarray, max_colors: int = 256) -> np.ndarray:
     """Greedy vertex coloring of the coupling graph.
 

@@ -60,7 +60,8 @@ _PRECISIONS = {
 }
 
 
-def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision):
+def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision,
+                 j_bf16: bool = False, micro: int = MICRO):
     prec = _PRECISIONS[precision]
 
     def kernel(seed_ref,     # [1] SMEM int32 (scalar prefetch; unused w/ host rng)
@@ -92,9 +93,16 @@ def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision):
             cnt_out[:] = jnp.zeros_like(cnt_out)
 
         i0 = pl.multiple_of(b * bb, bb)
-        ht[:] = jnp.dot(jrows_ref[:], s_io_ref[:],
-                        preferred_element_type=jnp.float32,
-                        precision=prec) + h_ref[:]
+        if j_bf16:
+            # J streamed in bf16 (half the HBM traffic); spins are exactly
+            # representable in bf16, accumulation stays f32 on the MXU
+            ht[:] = jnp.dot(jrows_ref[:],
+                            s_io_ref[:].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) + h_ref[:]
+        else:
+            ht[:] = jnp.dot(jrows_ref[:], s_io_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=prec) + h_ref[:]
         sblk[:] = s_io_ref[pl.ds(i0, bb), :]
         if kernel_rng:
             pltpu.prng_seed(seed_ref[0] + rt * pl.num_programs(1) + b)
@@ -107,9 +115,9 @@ def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision):
         else:
             ub[:] = u_ref[:]
         beta = beta_ref[:]
-        for c in range(bb // MICRO):
-            lo, hi = c * MICRO, (c + 1) * MICRO
-            for j in range(MICRO):  # static unroll: dependent sequential steps
+        for c in range(bb // micro):
+            lo, hi = c * micro, (c + 1) * micro
+            for j in range(micro):  # static unroll: dependent sequential steps
                 jj = lo + j
                 row = sblk[jj:jj + 1, :]     # [1, R]
                 f = ht[jj:jj + 1, :]
@@ -150,11 +158,12 @@ def _diag_blocks(j: jax.Array, block_size: int) -> jax.Array:
     return diag.reshape(n_pad, block_size)
 
 
-def _zero_micro_diag(jbb_all: jax.Array, block_size: int) -> jax.Array:
+def _zero_micro_diag(jbb_all: jax.Array, block_size: int,
+                     micro: int = MICRO) -> jax.Array:
     """Zero the [C, C] diagonal micro-blocks of each stacked [B, B] block."""
     n_rows = jbb_all.shape[0]
-    keep = 1.0 - np.kron(np.eye(block_size // MICRO, dtype=np.float32),
-                         np.ones((MICRO, MICRO), np.float32))
+    keep = 1.0 - np.kron(np.eye(block_size // micro, dtype=np.float32),
+                         np.ones((micro, micro), np.float32))
     tiles = np.tile(keep, (n_rows // block_size, 1))
     return jbb_all * jnp.asarray(tiles)
 
@@ -175,13 +184,15 @@ def _pick_replica_tile(n_pad: int, r: int, block_size: int,
 
 def _build_call(n_pad: int, r: int, block_size: int, rule: str,
                 kernel_rng: bool, precision, interpret: bool, dtype,
-                replica_tile: int = 0):
+                replica_tile: int = 0, j_bf16: bool = False,
+                micro: int = MICRO):
     n_blocks = n_pad // block_size
     rt = replica_tile or _pick_replica_tile(n_pad, r, block_size)
     if r % rt != 0:
         raise ValueError(f"replica count {r} not divisible by tile {rt}")
     r_tiles = r // rt
-    kernel = _make_kernel(rule, block_size, kernel_rng, precision)
+    kernel = _make_kernel(rule, block_size, kernel_rng, precision, j_bf16,
+                          micro)
     # grid order (rt, b): b innermost, so each replica tile runs a full sweep
     # (its spin window stays resident) before the next tile begins; J streams
     # once per tile.
@@ -231,7 +242,8 @@ class FusedSweep:
 
     def __init__(self, problem: IsingProblem, block_size: int = 128,
                  rule: str = "metropolis", precision=None,
-                 interpret: bool = False):
+                 interpret: bool = False, j_dtype=jnp.float32,
+                 micro: int = MICRO):
         n_pad = problem.n_padded
         if n_pad % block_size != 0:
             raise ValueError(
@@ -241,9 +253,12 @@ class FusedSweep:
         self.rule = rule
         self.precision = precision
         self.interpret = interpret
-        self.j32 = problem.j.astype(jnp.float32)
-        self.jbb_all = _diag_blocks(self.j32, block_size)
-        self.jbb_od_all = _zero_micro_diag(self.jbb_all, block_size)
+        self.j_bf16 = j_dtype == jnp.bfloat16
+        self.micro = micro
+        self.j32 = problem.j.astype(j_dtype)
+        # jbb blocks stay f32 (VPU elementwise + small MXU passes)
+        self.jbb_all = _diag_blocks(self.j32, block_size).astype(jnp.float32)
+        self.jbb_od_all = _zero_micro_diag(self.jbb_all, block_size, micro)
         self.h_col = problem.h.astype(jnp.float32)[:, None]
         # mask column for kernel-rng mode: +2 on padded rows pushes u >= 2
         self.mask_col = jnp.where(problem.active_mask > 0, 0.0, 2.0)[:, None]
@@ -254,7 +269,8 @@ class FusedSweep:
         if key not in self._calls:
             self._calls[key] = _build_call(
                 self.problem.n_padded, r, self.block_size, self.rule,
-                kernel_rng, self.precision, self.interpret, jnp.float32)
+                kernel_rng, self.precision, self.interpret, jnp.float32,
+                j_bf16=self.j_bf16, micro=self.micro)
         return self._calls[key]
 
     def __call__(self, spins_t: jax.Array, beta: jax.Array,

@@ -98,6 +98,27 @@ class EllProblem:
         )
 
 
+def ell_from_terms(n_spins: int, terms, max_degree: Optional[int] = None
+                   ) -> EllProblem:
+    """Compile core.constraints.Terms straight into an EllProblem — the
+    dense-free encode path for constraint-heavy problems (e.g. large
+    scheduling QUBOs whose dense J would not fit memory). Duplicate (i, j)
+    term entries are kept as separate ELL slots; the gather-reduce sums them,
+    so fields/energies match the dense scatter-add exactly."""
+    qi = np.asarray(terms.quad_i, np.int64)
+    qj = np.asarray(terms.quad_j, np.int64)
+    qv = np.asarray(terms.quad_v, np.float64)
+    rows = np.concatenate([qi, qj])
+    cols = np.concatenate([qj, qi])
+    vals = np.concatenate([qv, qv])
+    h = np.zeros(n_spins, np.float64)
+    if len(terms.lin_i):
+        np.add.at(h, np.asarray(terms.lin_i, np.int64),
+                  np.asarray(terms.lin_v, np.float64))
+    return EllProblem.from_coo(n_spins, rows, cols, vals, h,
+                               max_degree=max_degree)
+
+
 def sparse_local_fields(ell: EllProblem, spins: jax.Array) -> jax.Array:
     """[R, Np] -> [R, Np]: gather neighbors, multiply, reduce K."""
     gathered = spins[:, ell.idx]                   # [R, Np, K]

@@ -319,10 +319,68 @@ def learning_enhanced_dynamics(problem: IsingProblem,
     )
 
 
+# ---------------------------------------------------------------------------
+# QEC annealer
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class QECConfig:
+    repetition: int = 3        # physical spins per logical spin (odd)
+    code_coupling: float = 2.0  # intra-triple ferromagnetic lock
+    n_sweeps: int = 400
+    n_replicas: int = 16
+    seed: int = 42
+
+
+def quantum_error_corrected_annealing(problem: IsingProblem,
+                                      cfg: Optional[QECConfig] = None
+                                      ) -> AnnealResult:
+    """Repetition-code annealing (reference QuantumErrorCorrectedAnnealer,
+    breakthrough_algorithms.py:162-279): each logical spin is encoded as
+    ``repetition`` physical spins bound by strong ferromagnetic couplings;
+    logical couplings are distributed over the copies; majority vote decodes.
+    Thermal single-spin errors inside a triple cost code energy, suppressing
+    them — a classical analog of error suppression."""
+    cfg = cfg or QECConfig()
+    rep = cfg.repetition
+    n = problem.n_spins
+    j = np.asarray(problem.j, np.float64)[:n, :n]
+    h = np.asarray(problem.h, np.float64)[:n]
+
+    big = np.kron(j / (rep * rep), np.ones((rep, rep)))
+    for i in range(n):
+        sl = slice(i * rep, (i + 1) * rep)
+        big[sl, sl] = cfg.code_coupling * (np.ones((rep, rep)) - np.eye(rep))
+    h_big = np.repeat(h / rep, rep)
+    encoded = IsingProblem.from_dense(big, h_big)
+
+    from spinglass_tpu.anneal.schedules import ScheduleConfig
+
+    res = anneal(encoded, SAConfig(
+        n_sweeps=cfg.n_sweeps, n_replicas=cfg.n_replicas,
+        schedule=ScheduleConfig(initial_temp=3.0, final_temp=0.01,
+                                total_sweeps=cfg.n_sweeps),
+        use_pallas="never" if jax.default_backend() != "tpu" else "auto",
+        enable_early_stop=False, seed=cfg.seed))
+    # majority decode
+    phys = res.best_spins[: n * rep].reshape(n, rep)
+    logical = np.where(phys.sum(axis=1) >= 0, 1.0, -1.0)
+    s = np.ones(problem.n_padded)
+    s[:n] = logical
+    res.best_spins = logical
+    res.best_energy = float(energy_ops.energy(problem, jnp.asarray(s)))
+    res.algorithm = "qec_annealer"
+    res.metadata["repetition"] = rep
+    res.metadata["code_violations"] = int(
+        np.sum(np.abs(phys.sum(axis=1)) != rep))
+    return res
+
+
 ALGORITHM_REGISTRY = {
     "aqia": adaptive_quantum_inspired_annealing,
     "msho": multi_scale_optimization,
     "lesd": learning_enhanced_dynamics,
+    "qec": quantum_error_corrected_annealing,
 }
 
 

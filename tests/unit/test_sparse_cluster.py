@@ -132,6 +132,45 @@ class TestDenseFreeSparse:
         colors = topology.greedy_coloring_coo(rows, cols, 500)
         assert np.all(colors[rows] != colors[cols])
 
+    def test_ell_from_terms_matches_dense(self, key):
+        """Constraint Terms → ELL must give the same energies as the dense
+        scatter-add path (the encode route for huge scheduling QUBOs)."""
+        from spinglass_tpu.core import constraints as C
+
+        n = 60
+        comp = C.ConstraintCompiler()
+        for t in range(6):
+            comp.add(C.CardinalityConstraint(
+                indices=np.arange(t * 10, (t + 1) * 10), k=2, weight=3.0))
+        rng = np.random.default_rng(0)
+        obj = C.binary_quadratic_terms(
+            lin_i=np.arange(n), lin_v=rng.normal(size=n))
+        terms = C.Terms.concat([obj, comp.compile()])
+        dense = IsingProblem.from_terms(n, terms.quad_i, terms.quad_j,
+                                        terms.quad_v, terms.lin_i,
+                                        terms.lin_v)
+        ell = S.ell_from_terms(n, terms)
+        s = random_spins(key, (4, dense.n_padded), dense.active_mask)
+        np.testing.assert_allclose(np.asarray(S.sparse_energy(ell, s)),
+                                   np.asarray(E.energy(dense, s)),
+                                   rtol=1e-4, atol=1e-2)
+
+    def test_scheduling_encode_sparse_scale(self):
+        """A scheduling QUBO too structured for small coloring still encodes
+        to ELL and anneals (50 tasks x 8 agents x 4 slots = 1600 spins)."""
+        from spinglass_tpu.anneal.sa import SAConfig, anneal
+        from spinglass_tpu.problems import SchedulingProblem
+
+        prob = SchedulingProblem()
+        prob.generate_random_instance(n_tasks=50, n_agents=8, horizon=4,
+                                      seed=1, precedence_prob=0.0)
+        prob.encode_to_ising()
+        assert prob.problem.n_spins == 50 * 8 * 4
+        res = anneal(prob.problem, SAConfig(n_sweeps=60, n_replicas=4,
+                                            use_pallas="never"))
+        sol = prob.decode_solution(res.best_spins)
+        assert len(sol.variables["assignments"]) == 50
+
 
 class TestWolff:
     def test_cluster_flip_preserves_spin_validity(self, key):
