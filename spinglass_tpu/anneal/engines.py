@@ -99,11 +99,15 @@ class PallasEngine(SweepEngine):
     layout = "nr"
     name = "blocked_pallas"
 
-    def __init__(self, problem: IsingProblem, block_size: int = 128,
+    def __init__(self, problem: IsingProblem, block_size: int = 0,
                  rule: str = "metropolis", interpret: bool = False):
         super().__init__(problem)
         from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
 
+        if not block_size:
+            # 256 measured fastest on v5e (full-f32 MXU passes stay hidden
+            # behind the sequential VPU loop); fall back when it won't tile
+            block_size = 256 if problem.n_padded % 256 == 0 else 128
         self.fused = FusedSweep(problem, block_size=block_size, rule=rule,
                                 interpret=interpret)
 
@@ -118,7 +122,7 @@ SPARSE_MIN_SPINS = 2048
 
 
 def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
-                update_rule: str = "metropolis", block_size: int = 128,
+                update_rule: str = "metropolis", block_size: int = 0,
                 use_pallas: str = "auto",
                 max_colors: int = 8) -> SweepEngine:
     """Pick the sweep engine (replaces the reference's CUDA-vs-torch dispatch,
@@ -153,4 +157,5 @@ def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
         return PallasEngine(problem, block_size=block_size, rule=update_rule,
                             interpret=use_pallas == "always"
                             and jax.default_backend() != "tpu")
-    return BlockedXLAEngine(problem, block_size=block_size, rule=update_rule)
+    return BlockedXLAEngine(problem, block_size=block_size or 128,
+                            rule=update_rule)

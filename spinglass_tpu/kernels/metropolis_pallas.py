@@ -23,6 +23,14 @@ schedule:
   dE_j * accepted_j = -ds_j * f_j (ds_j = spin change, f_j = field at decision
   time, saved to scratch), avoiding lane-padded [1, R] accumulator chains in
   the sequential loop — measured 3x kernel speedup.
+* acceptance is exp-free on the critical path: each block's uniforms become
+  thresholds th = -ln(u)/(2β) in one vectorized [B, R] pass
+  (kernels/sweeps.py accept_threshold), so the dependent per-spin steps are
+  pure mul/compare/select.
+* replica tiles are picked as wide as scoped VMEM allows (vmem_limit_bytes
+  raised past the 16 MB default): wide [1, R] rows amortize the VPU
+  per-instruction overhead that dominates this kernel — rt 128 → 1024
+  measured ~2.5x on v5e.
 
 Two RNG modes:
 * rng="host": uniforms supplied by the caller in the same [R, N] stream as the
@@ -52,7 +60,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spinglass_tpu.core.problem import IsingProblem
 
-MICRO = 8  # sublane-granularity micro-block for immediate corrections
+MICRO = 32  # micro-block size for immediate corrections (multiple of the
+# 8-row sublane granularity; 32 measured fastest on v5e — fewer delayed-update
+# MXU passes outweigh the larger [C, R] immediate-correction rows)
 
 _PRECISIONS = {
     None: None, "default": None,
@@ -114,26 +124,32 @@ def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision,
             ub[:] = ub[:] + u_ref[:]
         else:
             ub[:] = u_ref[:]
-        beta = beta_ref[:]
+        # Exp-free acceptance (kernels/sweeps.py accept_threshold): turn the
+        # block's uniforms into thresholds th with accept ⟺ s_j·f_j < th_j in
+        # ONE vectorized [B, R] pass, so the dependent per-spin loop below is
+        # pure mul/compare/select — no transcendentals on the critical path.
+        nib = -0.5 / beta_ref[:]  # [1, R]
+        if rule == "metropolis":
+            th = jnp.log(ub[:]) * nib
+        else:  # glauber
+            th = (jnp.log(ub[:]) - jnp.log1p(-jnp.minimum(ub[:], 0.999999))) \
+                * nib
+        ub[:] = jnp.where(ub[:] < 1.0, th, -jnp.inf)
         for c in range(bb // micro):
             lo, hi = c * micro, (c + 1) * micro
             for j in range(micro):  # static unroll: dependent sequential steps
                 jj = lo + j
                 row = sblk[jj:jj + 1, :]     # [1, R]
                 f = ht[jj:jj + 1, :]
-                u = ub[jj:jj + 1, :]
-                de = 2.0 * row * f
-                if rule == "metropolis":
-                    p = jnp.exp(-beta * jnp.maximum(de, 0.0))
-                else:  # glauber
-                    p = jax.nn.sigmoid(-beta * de)
-                acc = u < p
+                acc = row * f < ub[jj:jj + 1, :]
                 ds = jnp.where(acc, -2.0 * row, 0.0)  # [1, R]
                 sblk[jj:jj + 1, :] = row + ds
                 dsb[jj:jj + 1, :] = ds
                 fb[jj:jj + 1, :] = f
                 # immediate correction, micro-block rows only ([C, R]);
-                # jbb symmetric → column jj == row jj; jbb[jj, jj] == 0
+                # jbb symmetric → column jj == row jj; jbb[jj, jj] == 0.
+                # (Correcting only the future rows jj+1:hi measures SLOWER —
+                # sublane-misaligned slices cost more than the saved rows.)
                 ht[lo:hi, :] = ht[lo:hi, :] + jbb_ref[lo:hi, jj:jj + 1] * ds
             # delayed update: propagate the micro-block's flips to the whole
             # block in one MXU pass (diagonal C-blocks zeroed in jbb_od)
@@ -168,14 +184,24 @@ def _zero_micro_diag(jbb_all: jax.Array, block_size: int,
     return jbb_all * jnp.asarray(tiles)
 
 
+VMEM_BUDGET = 88 * 1024 * 1024  # scoped-VMEM ceiling requested per kernel
+
+
 def _pick_replica_tile(n_pad: int, r: int, block_size: int,
-                       vmem_budget: int = 12 * 1024 * 1024) -> int:
-    """Largest replica tile (multiple of 128, divides r) whose VMEM windows
-    (2x spin window + 2x J row-block + 5 scratch + u) fit the budget."""
-    rt = min(r, 512)
+                       vmem_budget: int = VMEM_BUDGET) -> int:
+    """Largest replica tile (multiple of 128, divides r) whose VMEM footprint
+    fits the budget. Wider tiles amortize the per-instruction overhead of the
+    sequential [1, rt] update steps AND cut how often J re-streams per sweep,
+    so bigger is strictly better until VMEM runs out.
+
+    Footprint model (validated against the Mosaic scoped-vmem allocator):
+    3 spin-window buffers (aliased in/out + copy), double-buffered J row
+    blocks, and ~9 [B, rt] block buffers (5 scratch + u/beta double buffers).
+    """
+    rt = min(r, 2048)
     while rt > 128:
-        need = 4 * (2 * n_pad * rt + 2 * block_size * n_pad
-                    + 7 * block_size * rt)
+        need = 4 * (3 * n_pad * rt + 3 * block_size * n_pad
+                    + 9 * block_size * rt)
         if need <= vmem_budget and r % rt == 0:
             return rt
         rt -= 128
@@ -225,6 +251,9 @@ def _build_call(n_pad: int, r: int, block_size: int, rule: str,
             jax.ShapeDtypeStruct((1, r), jnp.float32),
         ),
         input_output_aliases={7: 0},  # input indices count the scalar-prefetch seed
+        # default scoped-vmem limit is 16 MB; wide replica tiles need more
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(VMEM_BUDGET * 1.25)),
         interpret=interpret,
     )
 

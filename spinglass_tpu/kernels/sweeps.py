@@ -50,6 +50,29 @@ def accept_prob(delta_e: jax.Array, beta: jax.Array, rule: str) -> jax.Array:
     raise ValueError(f"unknown update rule {rule!r}; expected one of {UPDATE_RULES}")
 
 
+def accept_threshold(uniforms: jax.Array, beta: jax.Array,
+                     rule: str) -> jax.Array:
+    """Exp-free acceptance: accept ⟺ s_i·f_i < th  (i.e. dE/2 < th).
+
+    Equivalent to ``u < accept_prob(dE, beta, rule)`` but with the
+    transcendental moved out of the sequential update loop — th depends only
+    on (u, beta), so a whole block's thresholds vectorize into one pass:
+      metropolis: u < e^{-β·dE⁺}  ⟺  dE < -ln(u)/β     (ln u ≤ 0)
+      glauber:    u < σ(-β·dE)    ⟺  dE < -logit(u)/β
+    Returned thresholds are divided by 2 so callers compare s·f = dE/2
+    directly. u ≥ 1 (the padding sentinel) maps to -inf (never accept).
+    """
+    nib = -0.5 / beta
+    if rule == "metropolis":
+        th = jnp.log(uniforms) * nib
+    elif rule == "glauber":
+        th = (jnp.log(uniforms) - jnp.log1p(-uniforms)) * nib
+    else:
+        raise ValueError(
+            f"unknown update rule {rule!r}; expected one of {UPDATE_RULES}")
+    return jnp.where(uniforms < 1.0, th, -jnp.inf)
+
+
 def _as_replica_beta(beta: jax.Array, r: int) -> jax.Array:
     beta = jnp.asarray(beta, jnp.float32)
     if beta.ndim == 0:
@@ -87,13 +110,15 @@ def colored_sweep(
     beta = _as_replica_beta(beta, r)
     active = problem.active_mask > 0
 
+    th = accept_threshold(uniforms, beta[:, None], rule)
+
     def body(carry, mask):
         spins, de_acc, cnt = carry
         f = jnp.matmul(spins, problem.j, preferred_element_type=jnp.float32)
         f = f + problem.h.astype(jnp.float32)
-        de = 2.0 * spins.astype(jnp.float32) * f
-        p = accept_prob(de, beta[:, None], rule)
-        acc = (uniforms < p) & (mask > 0)[None, :] & active[None, :]
+        sf = spins.astype(jnp.float32) * f
+        de = 2.0 * sf
+        acc = (sf < th) & (mask > 0)[None, :] & active[None, :]
         spins = jnp.where(acc, -spins, spins)
         de_acc = de_acc + jnp.sum(jnp.where(acc, de, 0.0), axis=-1)
         cnt = cnt + jnp.sum(acc, axis=-1).astype(jnp.int32)
@@ -116,15 +141,17 @@ def _block_inner_xla(sblk, hblk, jbb, ublk, mblk, beta, rule):
     mblk [B] active mask. Returns (sblk, de_sum[R], cnt[R]).
     """
     r, b = sblk.shape
+    thblk = accept_threshold(ublk, beta[:, None], rule)
 
     def inner(j, carry):
         sblk, hblk, de_acc, cnt = carry
         s_j = lax.dynamic_slice_in_dim(sblk, j, 1, axis=1)[:, 0]
         f_j = lax.dynamic_slice_in_dim(hblk, j, 1, axis=1)[:, 0]
-        u_j = lax.dynamic_slice_in_dim(ublk, j, 1, axis=1)[:, 0]
+        th_j = lax.dynamic_slice_in_dim(thblk, j, 1, axis=1)[:, 0]
         m_j = lax.dynamic_slice_in_dim(mblk, j, 1)[0]
-        de = 2.0 * s_j * f_j
-        acc = (u_j < accept_prob(de, beta, rule)) & (m_j > 0)
+        sf = s_j * f_j
+        de = 2.0 * sf
+        acc = (sf < th_j) & (m_j > 0)
         ds = jnp.where(acc, -2.0 * s_j, 0.0)
         new_s = (s_j + ds)[:, None]
         sblk = lax.dynamic_update_slice_in_dim(sblk, new_s, j, axis=1)
@@ -200,14 +227,17 @@ def sequential_sweep_oracle(j, h, spins, beta, uniforms, rule="metropolis"):
     u = np.asarray(uniforms, dtype=np.float64)
     n = s.shape[-1]
     de_sum, cnt = 0.0, 0
+    with np.errstate(divide="ignore"):
+        if rule == "metropolis":
+            th = np.log(u) * (-0.5 / beta)
+        else:
+            th = (np.log(u) - np.log1p(-np.minimum(u, 0.999999999))) * (
+                -0.5 / beta)
+        th = np.where(u < 1.0, th, -np.inf)
     for i in range(n):
         f = float(j[i] @ s + h[i])
         de = 2.0 * s[i] * f
-        if rule == "metropolis":
-            p = np.exp(-beta * max(de, 0.0))
-        else:
-            p = 1.0 / (1.0 + np.exp(beta * de))
-        if u[i] < p:
+        if s[i] * f < th[i]:
             s[i] = -s[i]
             de_sum += de
             cnt += 1
