@@ -210,5 +210,74 @@ def train_rl(agent, updates, envs, spins, checkpoint_dir):
     click.echo(f"env-steps/s: {out['env_steps_per_second']:.1f}")
 
 
+@main.command()
+@click.option("--watch", default=0, type=int,
+              help="sample every N seconds (0 = one snapshot)")
+@click.option("--serve-port", default=0, type=int,
+              help="also serve /metrics for Prometheus on this port")
+def monitor(watch, serve_port):
+    """Resource snapshot / Prometheus endpoint (reference AdvancedCLI
+    monitoring commands, cli/advanced_cli.py:22-483)."""
+    import time as _time
+
+    from spinglass_tpu.utils.metrics_exporter import (MetricsServer,
+                                                      global_registry)
+    from spinglass_tpu.utils.monitoring import global_monitor
+
+    mon = global_monitor()
+    server = None
+    if serve_port:
+        server = MetricsServer(port=serve_port).start()
+        click.echo(f"serving /metrics on :{server.port}")
+    try:
+        while True:
+            snap = {"host": __import__(
+                "spinglass_tpu.utils.monitoring",
+                fromlist=["host_stats"]).host_stats()}
+            try:
+                from spinglass_tpu.utils.monitoring import device_memory_stats
+
+                snap["device"] = device_memory_stats()
+            except Exception:
+                pass
+            if server:
+                global_registry().sync_from_monitor(mon)
+            click.echo(json.dumps(snap))
+            if not watch:
+                break
+            _time.sleep(watch)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if server:
+            server.stop()
+
+
+@main.command()
+@click.option("--replicas", default=256, help="current replica count")
+@click.option("--utilization", default=0.9, type=float)
+@click.option("--hbm-used", default=0.5, type=float)
+@click.option("--queue", default=4, type=int)
+def autoscale(replicas, utilization, hbm_used, queue):
+    """One auto-scaling decision from observed utilization (reference
+    AdvancedCLI scaling commands)."""
+    from spinglass_tpu.utils.autoscale import AdaptiveScaler
+
+    d = AdaptiveScaler(cooldown_s=0.0).decide(
+        n_replicas=replicas, utilization=utilization,
+        hbm_used_fraction=hbm_used, queue_depth=queue)
+    click.echo(json.dumps({
+        "resource": d.resource, "current": d.current, "target": d.target,
+        "reason": d.reason}))
+
+
+@main.command("cache-stats")
+def cache_stats():
+    """Solver-cache statistics (reference AdvancedCLI cache commands)."""
+    from spinglass_tpu.utils.cache import anneal_cache_stats
+
+    click.echo(json.dumps(anneal_cache_stats()))
+
+
 if __name__ == "__main__":
     main()

@@ -20,3 +20,10 @@ from spinglass_tpu.research.federated import (
 from spinglass_tpu.research.meta import (
     MetaOptimizer, ScheduleMemory, characterize, select_algorithm,
 )
+from spinglass_tpu.research.federated import (
+    FederatedQuantumHybridOptimizer,
+)
+from spinglass_tpu.research.unified import (
+    ProblemAnalyzer, AlgorithmSelector, UnifiedResearchFramework,
+    ProblemAnalysis,
+)

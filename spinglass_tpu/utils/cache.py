@@ -107,3 +107,16 @@ def memoize(max_size: int = 128, ttl: Optional[float] = None):
         return wrapper
 
     return decorator
+
+
+def anneal_cache_stats(cache: Optional[LRUCache] = None) -> dict:
+    """Stats for the global solution cache (reference AdvancedCLI cache
+    commands, cli/advanced_cli.py; performance_cache.py:43-513 stats)."""
+    c = cache or _solution_cache
+    return {
+        "size": len(c._data),
+        "max_size": c.max_size,
+        "hits": c.hits,
+        "misses": c.misses,
+        "hit_rate": c.hit_rate,
+    }
