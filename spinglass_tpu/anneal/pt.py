@@ -201,12 +201,23 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
         key: Optional[jax.Array] = None) -> AnnealResult:
     """Full PT run (reference parallel_tempering.py:82-143)."""
     cfg = cfg or PTConfig()
-    super_step, betas_ladder, engine = make_pt_step(problem, cfg)
     n_super = max(1, cfg.n_sweeps // cfg.exchange_interval)
 
-    @jax.jit
-    def run_all(state):
-        return lax.scan(super_step, state, None, length=n_super)
+    def _build():
+        super_step, betas_ladder, engine = make_pt_step(problem, cfg)
+
+        @jax.jit
+        def run_all(state):
+            return lax.scan(super_step, state, None, length=n_super)
+
+        return run_all, betas_ladder, engine
+
+    # reuse the compiled executable across run() calls for the same problem
+    # object + config (otherwise every call re-traces and re-compiles)
+    from spinglass_tpu.anneal.jit_cache import pt_cache
+
+    run_all, betas_ladder, engine = pt_cache().get_or_build(
+        problem, cfg, _build)
 
     state = init_state(problem, cfg, key, engine)
     t0 = time.perf_counter()

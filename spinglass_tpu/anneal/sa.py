@@ -171,9 +171,18 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
     transfer per chunk instead of per-sweep .item() syncs.
     """
     config = config or SAConfig()
-    engine = make_sweep_engine(problem, config)
-    chunk = partial(run_chunk, problem, config, engine)
-    chunk_jit = jax.jit(chunk, static_argnames=("n_sweeps",))
+
+    def _build():
+        engine = make_sweep_engine(problem, config)
+        chunk = partial(run_chunk, problem, config, engine)
+        return engine, jax.jit(chunk, static_argnames=("n_sweeps",))
+
+    # reuse engine + compiled chunk across anneal() calls for the same
+    # problem object + config (see jit_cache.py)
+    from spinglass_tpu.anneal.jit_cache import sa_cache
+
+    engine, chunk_jit = sa_cache().get_or_build(problem, ("anneal", config),
+                                                _build)
 
     state = init_state(problem, config, engine, key, init_spins)
     n_chunks = max(1, -(-config.n_sweeps // config.record_interval))
@@ -233,19 +242,25 @@ def anneal_scan(problem: IsingProblem, config: Optional[SAConfig] = None,
     benchmark / RL-inner-loop entry point. Returned state is in the engine's
     layout; hist entries are stacked per record chunk."""
     config = config or SAConfig()
-    engine = make_sweep_engine(problem, config)
-    state = init_state(problem, config, engine, key)
-
     n_rec = max(1, config.n_sweeps // config.record_interval)
 
-    @jax.jit
-    def run(state):
-        def rec_body(st, _):
-            st, stats = run_chunk(problem, config, engine, st,
-                                  config.record_interval)
-            return st, stats
+    def _build():
+        engine = make_sweep_engine(problem, config)
 
-        state, hist = lax.scan(rec_body, state, None, length=n_rec)
-        return state, hist
+        @jax.jit
+        def run(state):
+            def rec_body(st, _):
+                st, stats = run_chunk(problem, config, engine, st,
+                                      config.record_interval)
+                return st, stats
 
+            state, hist = lax.scan(rec_body, state, None, length=n_rec)
+            return state, hist
+
+        return engine, run
+
+    from spinglass_tpu.anneal.jit_cache import sa_cache
+
+    engine, run = sa_cache().get_or_build(problem, ("scan", config), _build)
+    state = init_state(problem, config, engine, key)
     return run(state)

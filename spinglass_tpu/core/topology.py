@@ -173,8 +173,15 @@ def sparse_random_graph_coo(n: int, *, avg_degree: float = 6.0,
 
 
 def greedy_coloring_coo(rows: np.ndarray, cols: np.ndarray, n: int,
-                        max_colors: int = 256) -> np.ndarray:
-    """Greedy coloring straight from symmetric COO (no dense matrix)."""
+                        max_colors: int = 256,
+                        balanced: bool = False) -> np.ndarray:
+    """Greedy coloring straight from symmetric COO (no dense matrix).
+
+    balanced=True picks, among feasible colors, the one with the smallest
+    class so far (equitable-ish coloring). Balanced classes matter for the
+    compacted colored sweep (kernels/sparse.py): its per-color tensors are
+    padded to the LARGEST class, so skewed classes waste gather work.
+    """
     from spinglass_tpu import native
 
     order = np.argsort(rows, kind="stable")
@@ -182,20 +189,34 @@ def greedy_coloring_coo(rows: np.ndarray, cols: np.ndarray, n: int,
     indptr = np.zeros(n + 1, np.int64)
     np.add.at(indptr, r_s + 1, 1)
     indptr = np.cumsum(indptr)
-    if native.available():
+    if native.available() and not balanced:
         return native.greedy_coloring_csr(indptr, c_s.astype(np.int64), n,
                                           max_colors)
     colors = np.full(n, -1, dtype=np.int64)
     deg = np.diff(indptr)
+    class_size = np.zeros(max_colors, np.int64)
     for v in np.argsort(-deg, kind="stable"):
         nb = c_s[indptr[v]:indptr[v + 1]]
         used = set(colors[nb][colors[nb] >= 0].tolist())
-        c = 0
-        while c in used:
-            c += 1
-        if c >= max_colors:
-            raise ValueError(f"graph needs >{max_colors} colors")
+        if balanced:
+            # pick the smallest feasible class among already-opened colors;
+            # only open a fresh color when every opened one is blocked
+            opened = int(np.count_nonzero(class_size))
+            feasible = [c for c in range(opened) if c not in used]
+            if feasible:
+                c = min(feasible, key=lambda c: (class_size[c], c))
+            elif opened < max_colors:
+                c = opened
+            else:
+                raise ValueError(f"graph needs >{max_colors} colors")
+        else:
+            c = 0
+            while c in used:
+                c += 1
+            if c >= max_colors:
+                raise ValueError(f"graph needs >{max_colors} colors")
         colors[v] = c
+        class_size[c] += 1
     return colors
 
 

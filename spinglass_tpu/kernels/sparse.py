@@ -25,7 +25,8 @@ from jax import lax
 
 from spinglass_tpu.core import topology
 from spinglass_tpu.core.problem import IsingProblem, round_up
-from spinglass_tpu.kernels.sweeps import accept_prob, color_masks_from_colors
+from spinglass_tpu.kernels.sweeps import (accept_threshold,
+                                          color_masks_from_colors)
 
 
 @struct.dataclass
@@ -149,19 +150,102 @@ def sparse_colored_sweep(
     beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
     active = ell.active_mask > 0
 
+    th = accept_threshold(uniforms, beta[:, None], rule)
+
     def body(carry, mask):
         spins, de_acc, cnt = carry
         f = sparse_local_fields(ell, spins)
-        de = 2.0 * spins.astype(jnp.float32) * f
-        p = accept_prob(de, beta[:, None], rule)
-        acc = (uniforms < p) & (mask > 0)[None, :] & active[None, :]
+        sf = spins.astype(jnp.float32) * f
+        acc = (sf < th) & (mask > 0)[None, :] & active[None, :]
         spins = jnp.where(acc, -spins, spins)
-        de_acc = de_acc + jnp.sum(jnp.where(acc, de, 0.0), axis=-1)
+        de_acc = de_acc + 2.0 * jnp.sum(jnp.where(acc, sf, 0.0), axis=-1)
         cnt = cnt + jnp.sum(acc, axis=-1).astype(jnp.int32)
         return (spins, de_acc, cnt), None
 
     init = (spins, jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.int32))
     (spins, de_acc, cnt), _ = lax.scan(body, init, color_masks)
+    return spins, de_acc, cnt
+
+
+# ---------------------------------------------------------------------------
+# Compacted colored sweep — per-color gather of ONLY that color's spins
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class ColorGroups:
+    """Per-color compacted operands, padded to the largest class size M.
+
+    nodes [C, M] int32 spin indices (0 on padding, masked), nmask [C, M],
+    idx [C, M, K] neighbor indices, val [C, M, K] couplings, h [C, M]."""
+
+    nodes: jax.Array
+    nmask: jax.Array
+    idx: jax.Array
+    val: jax.Array
+    h: jax.Array
+
+
+def build_color_groups(ell: EllProblem, colors: np.ndarray) -> ColorGroups:
+    """Precompute the per-color gathered operands (host-side, once).
+
+    The mask-based sweep re-gathers fields for ALL N spins per color — a
+    C-fold waste. Compaction makes total per-sweep gather work ~N*K instead
+    of C*N*K; with a balanced coloring (topology.greedy_coloring_coo
+    balanced=True) the padding overhead M*C/N stays near 1."""
+    colors = np.asarray(colors)
+    c_count = int(colors.max()) + 1 if colors.size else 1
+    idx_np = np.asarray(ell.idx)
+    val_np = np.asarray(ell.val)
+    h_np = np.asarray(ell.h)
+    classes = [np.nonzero(colors == c)[0] for c in range(c_count)]
+    m = max(len(cl) for cl in classes)
+    nodes = np.zeros((c_count, m), np.int32)
+    nmask = np.zeros((c_count, m), np.float32)
+    for c, cl in enumerate(classes):
+        nodes[c, : len(cl)] = cl
+        nmask[c, : len(cl)] = 1.0
+    return ColorGroups(
+        nodes=jnp.asarray(nodes), nmask=jnp.asarray(nmask),
+        idx=jnp.asarray(idx_np[nodes]), val=jnp.asarray(
+            val_np[nodes].astype(np.float32)),
+        h=jnp.asarray(h_np[nodes].astype(np.float32)))
+
+
+@functools.partial(jax.jit, static_argnames=("rule",))
+def sparse_colored_sweep_compact(
+    ell: EllProblem,
+    groups: ColorGroups,
+    spins: jax.Array,         # [R, Np]
+    beta: jax.Array,
+    uniforms: jax.Array,      # [R, Np] (spin i consumes uniforms[:, i])
+    rule: str = "metropolis",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact colored sweep, decision-identical to sparse_colored_sweep /
+    colored_sweep under the same uniforms and coloring, but gathering only
+    each color's M spins per pass. Spin updates apply via scatter-ADD of
+    ds = -2s (padding adds 0, so duplicate pad indices are benign)."""
+    r = spins.shape[0]
+    beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+    th = accept_threshold(uniforms, beta[:, None], rule)
+
+    def body(carry, g):
+        spins, de_acc, cnt = carry
+        nodes, nmask, idx_c, val_c, h_c = g
+        gathered = spins[:, idx_c]                       # [R, M, K]
+        f = jnp.einsum("rmk,mk->rm", gathered, val_c) + h_c[None, :]
+        s_c = spins[:, nodes]                            # [R, M]
+        sf = s_c.astype(jnp.float32) * f
+        acc = (sf < th[:, nodes]) & (nmask > 0)[None, :]
+        ds = jnp.where(acc, -2.0 * s_c, 0.0)
+        spins = spins.at[:, nodes].add(ds)
+        de_acc = de_acc + 2.0 * jnp.sum(jnp.where(acc, sf, 0.0), axis=-1)
+        cnt = cnt + jnp.sum(acc, axis=-1).astype(jnp.int32)
+        return (spins, de_acc, cnt), None
+
+    init = (spins, jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.int32))
+    (spins, de_acc, cnt), _ = lax.scan(
+        init=init, xs=(groups.nodes, groups.nmask, groups.idx, groups.val,
+                       groups.h), f=body)
     return spins, de_acc, cnt
 
 
@@ -175,7 +259,7 @@ class SparseEngine:
     name = "sparse_colored"
 
     def __init__(self, problem, rule: str = "metropolis",
-                 max_colors: int = 256):
+                 max_colors: int = 256, compact: bool = True):
         self.problem = problem
         self.rule = rule
         if isinstance(problem, EllProblem):
@@ -187,14 +271,20 @@ class SparseEngine:
             cols = idx[rows_l, cols_l].astype(np.int64)
             colors = topology.greedy_coloring_coo(rows, cols,
                                                   problem.n_spins,
-                                                  max_colors=max_colors)
+                                                  max_colors=max_colors,
+                                                  balanced=compact)
         else:
             self.ell = EllProblem.from_problem(problem)
             n = problem.n_spins
             j_np = np.asarray(problem.j)[:n, :n]
-            colors = topology.greedy_coloring(j_np, max_colors=max_colors)
+            rows, cols = (a.astype(np.int64) for a in np.nonzero(j_np))
+            colors = topology.greedy_coloring_coo(rows, cols, n,
+                                                  max_colors=max_colors,
+                                                  balanced=compact)
         self.n_colors = int(colors.max()) + 1 if colors.size else 1
         self.masks = color_masks_from_colors(colors, problem.n_padded)
+        self.compact = compact
+        self.groups = build_color_groups(self.ell, colors) if compact else None
 
     def energy(self, spins):
         return sparse_energy(self.ell, spins)
@@ -207,5 +297,8 @@ class SparseEngine:
 
     def sweep(self, spins, beta, key):
         uniforms = jax.random.uniform(key, spins.shape, jnp.float32)
+        if self.compact:
+            return sparse_colored_sweep_compact(
+                self.ell, self.groups, spins, beta, uniforms, rule=self.rule)
         return sparse_colored_sweep(self.ell, self.masks, spins, beta,
                                     uniforms, rule=self.rule)

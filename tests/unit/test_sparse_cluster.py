@@ -247,3 +247,57 @@ class TestWolff:
         state_codes = ((states > 0) * 2 ** np.arange(n)).sum(axis=1).astype(int)
         tv = 0.5 * np.abs(emp[state_codes] - probs).sum()
         assert tv < 0.05, f"TV={tv}"
+
+
+class TestCompactSweep:
+    def test_compact_matches_masked(self, key):
+        """Compacted colored sweep must make identical decisions to the
+        mask-based sweep under the same uniforms + coloring."""
+        import jax
+
+        j = topology.random_graph(120, density=0.04, seed=5)
+        p = IsingProblem.from_dense(j)
+        n = p.n_spins
+        rows, cols = (a.astype(np.int64)
+                      for a in np.nonzero(np.asarray(p.j)[:n, :n]))
+        colors = topology.greedy_coloring_coo(rows, cols, n, balanced=True)
+        ell = S.EllProblem.from_problem(p)
+        groups = S.build_color_groups(ell, colors)
+        masks = K.color_masks_from_colors(colors, p.n_padded)
+        k1, k2 = jax.random.split(key)
+        spins = random_spins(k1, (4, p.n_padded), p.active_mask)
+        u = jax.random.uniform(k2, (4, p.n_padded))
+        beta = jnp.float32(0.8)
+        s_m, de_m, cnt_m = S.sparse_colored_sweep(ell, masks, spins, beta, u)
+        s_c, de_c, cnt_c = S.sparse_colored_sweep_compact(
+            ell, groups, spins, beta, u)
+        np.testing.assert_array_equal(np.asarray(s_m), np.asarray(s_c))
+        np.testing.assert_array_equal(np.asarray(cnt_m), np.asarray(cnt_c))
+        np.testing.assert_allclose(np.asarray(de_m), np.asarray(de_c),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_balanced_coloring_valid_and_balanced(self):
+        rows, cols, vals = topology.sparse_random_graph_coo(
+            500, avg_degree=6.0, seed=3)
+        colors = topology.greedy_coloring_coo(
+            np.asarray(rows), np.asarray(cols), 500, balanced=True)
+        # proper coloring: no edge joins same-color endpoints
+        assert (colors[np.asarray(rows)] != colors[np.asarray(cols)]).all()
+        sizes = np.bincount(colors)
+        # balanced: largest class within 2.5x of the mean
+        assert sizes.max() <= 2.5 * sizes.mean()
+
+    def test_solver_cache_hits_on_repeat(self):
+        from spinglass_tpu.anneal import pt as pt_mod
+        from spinglass_tpu.anneal.jit_cache import pt_cache
+
+        rows, cols, vals = topology.sparse_random_graph_coo(
+            256, avg_degree=4.0, seed=1)
+        ell = S.EllProblem.from_coo(256, rows, cols, vals)
+        cfg = pt_mod.PTConfig(n_replicas=4, n_sweeps=40, exchange_interval=10,
+                              use_pallas="never", seed=0)
+        h0, m0 = pt_cache().hits, pt_cache().misses
+        r1 = pt_mod.run(ell, cfg)
+        r2 = pt_mod.run(ell, cfg)
+        assert pt_cache().misses == m0 + 1 and pt_cache().hits >= h0 + 1
+        assert r1.best_energy == r2.best_energy  # same seed, same executable
