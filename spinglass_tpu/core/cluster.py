@@ -81,3 +81,139 @@ def wolff_sweep(problem: IsingProblem, spins: jax.Array, beta: jax.Array,
         total = total + size
     e1 = energy_ops.energy(problem, spins)
     return spins, e1 - e0, total
+
+
+# ---------------------------------------------------------------------------
+# Swendsen-Wang — batched label propagation over ELL neighbor lists
+# ---------------------------------------------------------------------------
+
+def _ell_reverse_slots(idx, val):
+    """Host precompute: rev_i/rev_k such that idx[rev_i[i,k], rev_k[i,k]] == i
+    for every real slot (self-pointing on padding). Lets both directions of an
+    undirected edge consume the SAME uniform (the i<j direction's draw)."""
+    import numpy as np
+
+    idx = np.asarray(idx)
+    val = np.asarray(val)
+    n_pad, k_max = idx.shape
+    slot_of = {}
+    for i in range(n_pad):
+        for k in range(k_max):
+            if val[i, k] != 0.0:
+                slot_of[(i, int(idx[i, k]), k)] = None
+    # map (j -> i) slot lookup: position of i in j's row
+    pos = {}
+    for j in range(n_pad):
+        for k in range(k_max):
+            if val[j, k] != 0.0:
+                pos.setdefault((j, int(idx[j, k])), k)
+    rev_i = np.tile(np.arange(n_pad)[:, None], (1, k_max)).astype(np.int32)
+    rev_k = np.tile(np.arange(k_max)[None, :], (n_pad, 1)).astype(np.int32)
+    for i in range(n_pad):
+        for k in range(k_max):
+            j = int(idx[i, k])
+            if val[i, k] != 0.0 and (j, i) in pos:
+                rev_i[i, k] = j
+                rev_k[i, k] = pos[(j, i)]
+    return rev_i, rev_k
+
+
+class SwendsenWang:
+    """Swendsen-Wang multi-cluster updates, batched over replicas.
+
+    The reference README advertises a ``SwendsenWang`` sampler that does not
+    exist in its code (SURVEY.md preamble); this is the real thing, built
+    TPU-first: bond activation, connected components, and cluster flips are
+    all vectorized [R, N(,K)] array ops under jit — components via min-label
+    propagation with pointer jumping (l = min(l, neighbor_min); l = l[l]),
+    which converges in O(log N) rounds instead of a per-cluster BFS.
+
+    External fields use the standard ghost-spin coupling: sites bond to a
+    ghost with p = 1 - exp(-2 beta h_i s_i) (when h_i s_i > 0); ghost-connected
+    clusters (label -1) never flip, preserving detailed balance with h != 0.
+    """
+
+    def __init__(self, problem):
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        if isinstance(problem, EllProblem):
+            self.ell = problem
+        else:
+            self.ell = EllProblem.from_problem(problem)
+        self.problem = problem
+        rev_i, rev_k = _ell_reverse_slots(self.ell.idx, self.ell.val)
+        self.rev_i = jnp.asarray(rev_i)
+        self.rev_k = jnp.asarray(rev_k)
+        self._sweep_jit = jax.jit(self._sweep)
+
+    def _sweep(self, spins, beta, key):
+        """One SW update: activate bonds, label clusters, flip half."""
+        from spinglass_tpu.kernels.sparse import sparse_energy
+
+        ell = self.ell
+        r, n_pad = spins.shape
+        k_max = ell.idx.shape[1]
+        beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+        k_bond, k_ghost, k_flip = jax.random.split(key, 3)
+
+        # --- bond activation (one uniform per undirected edge) -----------
+        u_dir = jax.random.uniform(k_bond, (r, n_pad, k_max))
+        u_rev = u_dir[:, self.rev_i, self.rev_k]
+        u_edge = jnp.where((jnp.arange(n_pad)[:, None] < ell.idx)[None],
+                           u_dir, u_rev)
+        s_i = spins[:, :, None]
+        s_j = spins[:, ell.idx]
+        jss = ell.val[None].astype(jnp.float32) * s_i * s_j     # [R, Np, K]
+        p_bond = -jnp.expm1(-2.0 * beta[:, None, None]
+                            * jnp.maximum(jss, 0.0))
+        bond = (u_edge < p_bond) & (jss > 0)
+
+        # --- ghost bonds from external fields ----------------------------
+        hs = ell.h.astype(jnp.float32)[None, :] * spins
+        p_ghost = -jnp.expm1(-2.0 * beta[:, None] * jnp.maximum(hs, 0.0))
+        ghost = jax.random.uniform(k_ghost, (r, n_pad)) < p_ghost
+
+        # --- connected components: min-label + pointer jumping -----------
+        active = ell.active_mask > 0
+        init_l = jnp.where(active[None, :],
+                           jnp.arange(n_pad, dtype=jnp.int32)[None, :],
+                           jnp.int32(n_pad))  # padding: inert self-labels
+        init_l = jnp.where(ghost & active[None, :], jnp.int32(-1), init_l)
+        big = jnp.int32(n_pad)
+
+        def cond(carry):
+            l, changed, it = carry
+            return changed & (it < n_pad)
+
+        def body(carry):
+            l, _, it = carry
+            nb = l[jnp.arange(r)[:, None, None], ell.idx[None]]  # [R, Np, K]
+            nb = jnp.where(bond, nb, big)
+            l_new = jnp.minimum(l, jnp.min(nb, axis=-1))
+            # pointer jumping: follow the label's current label
+            l_idx = jnp.maximum(l_new, 0)                         # guard -1
+            l_jump = l_new[jnp.arange(r)[:, None], l_idx]
+            l_new = jnp.where(l_new >= 0, jnp.minimum(l_new, l_jump), l_new)
+            changed = jnp.any(l_new != l)
+            return (l_new, changed, it + 1)
+
+        labels, _, n_iter = lax.while_loop(
+            cond, body, (init_l, jnp.asarray(True), jnp.asarray(0)))
+
+        # --- flip each non-ghost cluster with p = 1/2 ---------------------
+        coins = jax.random.bernoulli(k_flip, 0.5, (r, n_pad))
+        flip = jnp.where(labels >= 0,
+                         coins[jnp.arange(r)[:, None],
+                               jnp.maximum(labels, 0)], False)
+        flip = flip & active[None, :]
+        new_spins = jnp.where(flip, -spins, spins)
+        e0 = sparse_energy(ell, spins)
+        e1 = sparse_energy(ell, new_spins)
+        n_clusters = jnp.sum(
+            (labels == jnp.arange(n_pad, dtype=jnp.int32)[None, :])
+            & active[None, :], axis=-1)
+        return new_spins, e1 - e0, n_clusters.astype(jnp.int32)
+
+    def sweep(self, spins, beta, key):
+        """spins [R, Np] -> (spins, dE[R], n_clusters[R])."""
+        return self._sweep_jit(spins, beta, key)

@@ -301,3 +301,86 @@ class TestCompactSweep:
         r2 = pt_mod.run(ell, cfg)
         assert pt_cache().misses == m0 + 1 and pt_cache().hits >= h0 + 1
         assert r1.best_energy == r2.best_energy  # same seed, same executable
+
+
+class TestSwendsenWang:
+    def test_fm_ring_zero_temp_single_cluster(self, key):
+        """beta -> inf on an aligned FM ring: every satisfied bond activates,
+        the whole ring is ONE cluster, so it flips rigidly (|m| stays 1)."""
+        from spinglass_tpu.core.cluster import SwendsenWang
+
+        n = 32
+        j = topology.chain(n, periodic=True, dist="ferromagnetic")
+        p = IsingProblem.from_dense(np.asarray(j))
+        sw = SwendsenWang(p)
+        spins = jnp.ones((4, p.n_padded)) * p.active_mask[None, :]
+        s2, de, n_clusters = sw.sweep(spins, jnp.float32(50.0), key)
+        m = np.asarray(jnp.sum(s2 * p.active_mask[None, :], axis=-1)) / n
+        np.testing.assert_allclose(np.abs(m), 1.0)
+        assert (np.asarray(n_clusters) == 1).all()
+
+    def test_fm_grid_equilibrates_fast(self, key):
+        """4x SW sweeps order a 2D FM grid at low T from random init."""
+        from spinglass_tpu.core.cluster import SwendsenWang
+        from spinglass_tpu.core.problem import random_spins
+
+        j = topology.grid_2d(8, 8, dist="ferromagnetic")
+        p = IsingProblem.from_dense(np.asarray(j))
+        sw = SwendsenWang(p)
+        spins = random_spins(key, (4, p.n_padded), p.active_mask)
+        k = key
+        for _ in range(6):
+            k, sub = jax.random.split(k)
+            spins, de, _ = sw.sweep(spins, jnp.float32(2.0), sub)
+        from spinglass_tpu.kernels.sparse import EllProblem, sparse_energy
+
+        e = np.asarray(sparse_energy(EllProblem.from_problem(p), spins))
+        # ground state energy = -n_edges = -(2*8*8 - 2*8) = -112
+        assert e.min() <= -0.9 * 112
+
+    def test_ghost_field_pins_cluster(self, key):
+        """Strong +h with beta large: ghost bonds lock the aligned cluster —
+        it must NOT flip (label -1 clusters are excluded)."""
+        from spinglass_tpu.core.cluster import SwendsenWang
+
+        n = 16
+        j = topology.chain(n, periodic=True, dist="ferromagnetic")
+        p = IsingProblem.from_dense(np.asarray(j), np.full(n, 5.0))
+        sw = SwendsenWang(p)
+        spins = jnp.ones((8, p.n_padded)) * p.active_mask[None, :]
+        s2, _, _ = sw.sweep(spins, jnp.float32(20.0), key)
+        m = np.asarray(jnp.sum(s2 * p.active_mask[None, :], axis=-1)) / n
+        np.testing.assert_allclose(m, 1.0)  # all 8 replicas stay pinned
+
+    def test_energy_delta_exact(self, key):
+        from spinglass_tpu.core.cluster import SwendsenWang
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.kernels.sparse import EllProblem, sparse_energy
+
+        j = topology.random_graph(40, density=0.1, seed=3)
+        p = IsingProblem.from_dense(j, np.random.default_rng(0).normal(
+            0, 0.3, 40))
+        sw = SwendsenWang(p)
+        spins = random_spins(key, (4, p.n_padded), p.active_mask)
+        ell = EllProblem.from_problem(p)
+        e0 = np.asarray(sparse_energy(ell, spins))
+        s2, de, _ = sw.sweep(spins, jnp.float32(0.8), key)
+        e1 = np.asarray(sparse_energy(ell, s2))
+        np.testing.assert_allclose(e0 + np.asarray(de), e1, rtol=1e-4,
+                                   atol=1e-3)
+
+    def test_labels_respect_active_bonds(self, key):
+        """Statistical sanity: at beta=0 no bonds activate -> every active
+        spin is its own cluster; flips are iid coin flips."""
+        from spinglass_tpu.core.cluster import SwendsenWang
+
+        n = 30
+        j = topology.random_graph(n, density=0.2, seed=1)
+        p = IsingProblem.from_dense(j)
+        sw = SwendsenWang(p)
+        spins = jnp.ones((16, p.n_padded)) * p.active_mask[None, :]
+        s2, _, n_clusters = sw.sweep(spins, jnp.float32(0.0), key)
+        assert (np.asarray(n_clusters) == n).all()
+        frac_flipped = float(jnp.mean(
+            (s2 != spins)[:, :n].astype(jnp.float32)))
+        assert 0.3 < frac_flipped < 0.7
