@@ -205,17 +205,25 @@ def train(problem: IsingProblem, env_cfg: Optional[EnvConfig] = None,
     state = init_fn()
     history = []
     t0 = time.perf_counter()
+    t_warm = t0
     for u in range(cfg.n_updates):
         state, metrics = update_fn(state)
         history.append({k: float(v) for k, v in metrics.items()})
+        if u == 0:
+            t_warm = time.perf_counter()  # first update carries the compile
         if verbose and (u % 10 == 0 or u == cfg.n_updates - 1):
             print(f"update {u}: {history[-1]}")
     total = time.perf_counter() - t0
+    steady = time.perf_counter() - t_warm
     env_steps = cfg.n_updates * cfg.rollout_len * env_cfg.n_envs
+    steady_steps = max(cfg.n_updates - 1, 1) * cfg.rollout_len * env_cfg.n_envs
     return {
         "params": state.params,
         "history": history,
-        "env_steps_per_second": env_steps / total if total > 0 else 0.0,
+        # steady-state rate (first update's compile excluded)
+        "env_steps_per_second": steady_steps / steady if steady > 0 else 0.0,
+        "env_steps_per_second_incl_compile": env_steps / total
+        if total > 0 else 0.0,
         "total_time": total,
         "final_mean_best_energy": history[-1]["mean_best_energy"],
     }
