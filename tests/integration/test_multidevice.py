@@ -149,3 +149,57 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(min(8, jax.device_count()))
+
+
+class TestMultihost:
+    """multihost helpers on the 8-virtual-device CPU platform (one process)."""
+
+    def test_initialize_single_host_noop(self):
+        from spinglass_tpu.distributed import multihost
+
+        info = multihost.initialize()
+        assert info["process_count"] == 1
+        assert info["global_devices"] >= 1
+
+    def test_replica_mesh_host_major(self):
+        from spinglass_tpu.distributed import multihost
+
+        mesh = multihost.replica_mesh()
+        assert mesh.axis_names == ("replica",)
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_hybrid_mesh_shape(self):
+        from spinglass_tpu.distributed import multihost
+
+        mesh = multihost.hybrid_mesh()
+        assert mesh.axis_names == ("host", "replica")
+        assert mesh.devices.shape[0] == 1  # one process in tests
+
+    def test_local_replica_slice(self):
+        from spinglass_tpu.distributed import multihost
+
+        sl = multihost.local_replica_slice(64)
+        assert sl == slice(0, 64)
+
+    def test_scaling_report(self):
+        from spinglass_tpu.distributed import multihost
+
+        rep = multihost.scaling_report([1.0e9, 0.9e9])
+        assert rep["n_hosts"] == 2
+        assert 0.9 < rep["efficiency"] <= 1.0
+
+    def test_sharded_pt_on_replica_mesh(self):
+        """pt_sharded over the multihost-constructed mesh end-to-end."""
+        from spinglass_tpu.anneal.pt import PTConfig
+        from spinglass_tpu.distributed import multihost, pt_sharded
+        from spinglass_tpu.core import topology
+        from spinglass_tpu.core.problem import IsingProblem
+
+        mesh = multihost.replica_mesh()
+        n_dev = mesh.devices.size
+        j = topology.fully_connected(24, dist="ferromagnetic", seed=0)
+        p = IsingProblem.from_dense(np.asarray(j))
+        cfg = PTConfig(n_replicas=2 * n_dev, n_sweeps=40, exchange_interval=10,
+                       use_pallas="never", min_temp=0.2, max_temp=4.0, seed=0)
+        res = pt_sharded.run(p, cfg, mesh=mesh)
+        assert res.best_energy <= -0.9 * (24 * 23 / 2)
