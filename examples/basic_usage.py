@@ -4,6 +4,11 @@ build an Ising instance, anneal it, run parallel tempering, inspect results.
 Run: python examples/basic_usage.py [--platform cpu]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 
 import numpy as np

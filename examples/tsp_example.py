@@ -3,6 +3,11 @@
 Run: python examples/tsp_example.py [--cities 12] [--platform cpu]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 
 

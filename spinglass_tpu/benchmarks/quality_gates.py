@@ -1,0 +1,213 @@
+"""Quality-gate runner: automated pass/fail checks with a JSON report.
+
+Rebuilds the reference's quality-gate scripts (run_quality_gates.py,
+comprehensive_quality_gates*.py, progressive_quality_gates*.py — which emit
+quality_gates_report_*.json files; SURVEY §4). Gates cover import health,
+security hygiene, numerical correctness invariants, solver performance
+smoke, multi-device sharding, and graceful degradation. CLI:
+``sgt quality-gates``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class GateResult:
+    name: str
+    passed: bool
+    detail: str = ""
+    duration_s: float = 0.0
+
+
+def _gate_imports() -> GateResult:
+    mods = [
+        "spinglass_tpu", "spinglass_tpu.core", "spinglass_tpu.anneal",
+        "spinglass_tpu.problems", "spinglass_tpu.rl",
+        "spinglass_tpu.distributed", "spinglass_tpu.research",
+        "spinglass_tpu.utils", "spinglass_tpu.deployment",
+        "spinglass_tpu.benchmarks",
+    ]
+    failed = []
+    for m in mods:
+        try:
+            __import__(m)
+        except Exception as exc:
+            failed.append(f"{m}: {exc}")
+    return GateResult("imports", not failed, "; ".join(failed) or
+                      f"{len(mods)} packages importable")
+
+
+def _gate_energy_invariants() -> GateResult:
+    import jax
+    import jax.numpy as jnp
+
+    from spinglass_tpu.core import energy as E
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem, random_spins
+    from spinglass_tpu.kernels import sweeps as K
+
+    n = 48
+    j = topology.fully_connected(n, dist="gaussian", scale=1 / np.sqrt(n),
+                                 seed=0)
+    h = np.random.default_rng(0).normal(0, 0.3, n)
+    p = IsingProblem.from_dense(j, h)
+    key = jax.random.key(0)
+    s = random_spins(key, (4, p.n_padded), p.active_mask)
+    e0 = E.energy(p, s)
+    u = jax.random.uniform(jax.random.key(1), s.shape)
+    s1, de, cnt = K.blocked_sweep(p, s, jnp.float32(0.7), u)
+    e1 = E.energy(p, s1)
+    ok = bool(np.allclose(np.asarray(e0 + de), np.asarray(e1), rtol=1e-3,
+                          atol=1e-2))
+    sym = bool(np.allclose(np.asarray(p.j), np.asarray(p.j).T))
+    return GateResult("energy_invariants", ok and sym,
+                      f"E0+dE==E1 {ok}; J symmetric {sym}")
+
+
+def _gate_determinism() -> GateResult:
+    from spinglass_tpu.anneal.sa import SAConfig, anneal
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem
+
+    j = topology.fully_connected(24, dist="binary", seed=1)
+    p = IsingProblem.from_dense(j)
+    cfg = SAConfig(n_sweeps=80, n_replicas=4, use_pallas="never", seed=7)
+    a = anneal(p, cfg)
+    b = anneal(p, cfg)
+    ok = a.best_energy == b.best_energy and np.array_equal(
+        a.best_spins, b.best_spins)
+    return GateResult("determinism", bool(ok),
+                      f"fixed-seed reproducibility: {a.best_energy}")
+
+
+def _gate_solution_quality() -> GateResult:
+    from spinglass_tpu.anneal.sa import SAConfig, anneal
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem
+
+    n = 32
+    j = topology.fully_connected(n, dist="ferromagnetic", seed=0)
+    p = IsingProblem.from_dense(np.asarray(j))
+    res = anneal(p, SAConfig(n_sweeps=200, n_replicas=8, use_pallas="never",
+                             seed=0))
+    target = -n * (n - 1) / 2
+    ok = res.best_energy <= 0.95 * target
+    return GateResult("solution_quality", bool(ok),
+                      f"FM ground state {res.best_energy} vs {target}")
+
+
+def _gate_performance_smoke(min_flips: float = 1e5) -> GateResult:
+    from spinglass_tpu.anneal.sa import SAConfig, anneal
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem
+
+    n = 64
+    j = topology.fully_connected(n, dist="gaussian", scale=1 / np.sqrt(n),
+                                 seed=2)
+    p = IsingProblem.from_dense(j)
+    cfg = SAConfig(n_sweeps=200, n_replicas=16, enable_early_stop=False,
+                   seed=0)
+    anneal(p, cfg)                      # compile
+    res = anneal(p, cfg)                # cached executable
+    ok = res.spin_flips_per_second >= min_flips
+    return GateResult("performance_smoke", bool(ok),
+                      f"{res.spin_flips_per_second:.3g} flips/s "
+                      f"(gate {min_flips:.0g})")
+
+
+def _gate_security() -> GateResult:
+    from spinglass_tpu.utils.security import sanitize_path, validate_problem_payload
+
+    issues = []
+    try:
+        sanitize_path("../../etc/passwd", base_dir="/tmp")
+        issues.append("path traversal not rejected")
+    except Exception:
+        pass
+    try:
+        validate_problem_payload(np.full((3, 4), np.nan))
+        issues.append("invalid payload not rejected")
+    except Exception:
+        pass
+    return GateResult("security", not issues, "; ".join(issues) or
+                      "traversal + payload validation enforced")
+
+
+def _gate_multidevice() -> GateResult:
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return GateResult("multidevice", True,
+                          f"skipped: {n_dev} device(s) visible")
+    from spinglass_tpu.anneal.pt import PTConfig
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem
+    from spinglass_tpu.distributed import pt_sharded
+
+    j = topology.fully_connected(16, dist="binary", seed=3)
+    p = IsingProblem.from_dense(j)
+    cfg = PTConfig(n_replicas=2 * n_dev, n_sweeps=20, exchange_interval=10,
+                   use_pallas="never", seed=0)
+    res = pt_sharded.run(p, cfg)
+    return GateResult("multidevice", bool(np.isfinite(res.best_energy)),
+                      f"sharded PT over {n_dev} devices ok")
+
+
+def _gate_graceful_degradation() -> GateResult:
+    from spinglass_tpu.core.minimal import MinimalAnnealer, create_test_problem
+
+    model = create_test_problem(10, seed=4)
+    result = MinimalAnnealer(n_sweeps=200, seed=0).anneal(model)
+    ok = np.isfinite(result["best_energy"])
+    return GateResult("graceful_degradation", bool(ok),
+                      f"stdlib-only annealer best={result['best_energy']}")
+
+
+DEFAULT_GATES: Dict[str, Callable[[], GateResult]] = {
+    "imports": _gate_imports,
+    "energy_invariants": _gate_energy_invariants,
+    "determinism": _gate_determinism,
+    "solution_quality": _gate_solution_quality,
+    "performance_smoke": _gate_performance_smoke,
+    "security": _gate_security,
+    "multidevice": _gate_multidevice,
+    "graceful_degradation": _gate_graceful_degradation,
+}
+
+
+def run_quality_gates(gates: Optional[List[str]] = None,
+                      report_path: Optional[str] = None) -> dict:
+    """Run gates, return (and optionally write) the JSON report — the analog
+    of the reference's quality_gates_report_*.json."""
+    selected = gates or list(DEFAULT_GATES)
+    results = []
+    for name in selected:
+        fn = DEFAULT_GATES[name]
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+        except Exception as exc:
+            r = GateResult(name, False, f"{type(exc).__name__}: {exc}")
+        r.duration_s = time.perf_counter() - t0
+        results.append(r)
+    report = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "summary": {
+            "total": len(results),
+            "passed": sum(r.passed for r in results),
+            "failed": sum(not r.passed for r in results),
+        },
+        "gates": [r.__dict__ for r in results],
+    }
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=2)
+    return report

@@ -271,6 +271,26 @@ def autoscale(replicas, utilization, hbm_used, queue):
         "reason": d.reason}))
 
 
+@main.command("quality-gates")
+@click.option("--output", "-o", default=None, help="write the JSON report")
+@click.option("--gates", default=None,
+              help="comma-separated subset of gates to run")
+def quality_gates(output, gates):
+    """Run automated quality gates (reference run_quality_gates.py /
+    quality_gates_report_*.json)."""
+    from spinglass_tpu.benchmarks.quality_gates import run_quality_gates
+
+    names = gates.split(",") if gates else None
+    rep = run_quality_gates(names, report_path=output)
+    for g in rep["gates"]:
+        mark = "PASS" if g["passed"] else "FAIL"
+        click.echo(f"{mark} {g['name']}: {g['detail']}")
+    s = rep["summary"]
+    click.echo(f"{s['passed']}/{s['total']} gates passed")
+    if s["failed"]:
+        sys.exit(1)
+
+
 @main.command("cache-stats")
 def cache_stats():
     """Solver-cache statistics (reference AdvancedCLI cache commands)."""

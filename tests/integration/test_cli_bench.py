@@ -88,3 +88,24 @@ class TestBenchmarkRunner:
         summary = runner.summary()
         assert "maxcut/sa" in summary
         assert summary["maxcut/sa"]["n"] == 2
+
+
+class TestQualityGates:
+    def test_run_all_gates_pass(self):
+        from spinglass_tpu.benchmarks.quality_gates import run_quality_gates
+
+        rep = run_quality_gates()
+        assert rep["summary"]["failed"] == 0, rep["gates"]
+
+    def test_cli_quality_gates(self, runner, tmp_path):
+        import json
+        import os
+
+        from spinglass_tpu.cli import main
+
+        out = os.path.join(tmp_path, "qg.json")
+        r = runner.invoke(main, ["quality-gates", "-o", out,
+                                 "--gates", "imports,security,determinism"])
+        assert r.exit_code == 0, r.output
+        rep = json.load(open(out))
+        assert rep["summary"]["total"] == 3
