@@ -151,19 +151,25 @@ def exchange_step(state: PTState, betas_ladder: jax.Array, parity: jax.Array,
     )
 
 
-def make_pt_step(problem: IsingProblem, cfg: PTConfig
+def make_pt_step(problem: IsingProblem, cfg: PTConfig,
+                 ladder_override: Optional[np.ndarray] = None
                  ) -> Tuple[Callable, jax.Array, SweepEngine]:
     """Build the jittable PT super-step: `exchange_interval` sweeps + one
     exchange pass. Returns (step_fn, betas_ladder, engine)."""
     engine = make_engine(problem, sweep_method=cfg.sweep_method,
                          update_rule=cfg.update_rule,
                          block_size=cfg.block_size, use_pallas=cfg.use_pallas)
-    betas_ladder = jnp.asarray(1.0 / temperature_ladder(cfg))
+    temps = (np.asarray(ladder_override, np.float32)
+             if ladder_override is not None else temperature_ladder(cfg))
+    betas_ladder = jnp.asarray(1.0 / temps)
 
-    def super_step(state: PTState, _):
+    def super_step(state: PTState, _, betas=betas_ladder):
+        # `betas` may be passed at call time (a traced runtime value), so one
+        # compiled executable serves every ladder — ladder tuning iterates
+        # without re-compiles
         def one_sweep(st: PTState, _):
             key, ku = jax.random.split(st.key)
-            beta = betas_ladder[st.slot]
+            beta = betas[st.slot]
             spins, de, cnt = engine.sweep(st.spins, beta, ku)
             energy = st.energy + de
             improved = energy < st.best_energy
@@ -183,14 +189,19 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig
         key, kx = jax.random.split(state.key)
         state = state.replace(key=key)
         parity = (state.sweep // cfg.exchange_interval) % 2
-        state = exchange_step(state, betas_ladder, parity, kx)
+        state = exchange_step(state, betas, parity, kx)
         # resync exact energies once per super-step (f32 drift hygiene)
         state = state.replace(
             energy=_energy_in_layout(problem, engine, state.spins))
+        inv_slot = jnp.argsort(state.slot)
         stats = {
             "best_energy": jnp.min(state.best_energy),
             "cold_energy": state.energy[jnp.argmin(state.slot)],
             "mean_acceptance": jnp.mean(state.acc_rate),
+            # per-SLOT energies (cold→hot) each super-step; time-averaged by
+            # run() for feedback ladder tuning (single-sample estimates are
+            # far too noisy to respace on)
+            "slot_energy": state.energy[inv_slot],
         }
         return state, stats
 
@@ -198,30 +209,39 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig
 
 
 def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
-        key: Optional[jax.Array] = None) -> AnnealResult:
-    """Full PT run (reference parallel_tempering.py:82-143)."""
+        key: Optional[jax.Array] = None,
+        ladder_override: Optional[np.ndarray] = None) -> AnnealResult:
+    """Full PT run (reference parallel_tempering.py:82-143).
+    ``ladder_override``: explicit temperature ladder (e.g. from
+    tune_ladder) instead of the config's geometric/linear spacing."""
     cfg = cfg or PTConfig()
     n_super = max(1, cfg.n_sweeps // cfg.exchange_interval)
 
     def _build():
-        super_step, betas_ladder, engine = make_pt_step(problem, cfg)
+        super_step, _, engine = make_pt_step(problem, cfg)
 
         @jax.jit
-        def run_all(state):
-            return lax.scan(super_step, state, None, length=n_super)
+        def run_all(state, betas):
+            def step(st, x):
+                return super_step(st, x, betas=betas)
 
-        return run_all, betas_ladder, engine
+            return lax.scan(step, state, None, length=n_super)
+
+        return run_all, engine
 
     # reuse the compiled executable across run() calls for the same problem
-    # object + config (otherwise every call re-traces and re-compiles)
+    # object + config (otherwise every call re-traces and re-compiles). The
+    # ladder is a RUNTIME argument, so ladder tuning / overrides also reuse it.
     from spinglass_tpu.anneal.jit_cache import pt_cache
 
-    run_all, betas_ladder, engine = pt_cache().get_or_build(
-        problem, cfg, _build)
+    run_all, engine = pt_cache().get_or_build(problem, cfg, _build)
+    temps = (np.asarray(ladder_override, np.float32)
+             if ladder_override is not None else temperature_ladder(cfg))
+    betas_ladder = jnp.asarray(1.0 / temps)
 
     state = init_state(problem, cfg, key, engine)
     t0 = time.perf_counter()
-    state, hist = run_all(state)
+    state, hist = run_all(state, betas_ladder)
     jax.block_until_ready(state.spins)
     total = time.perf_counter() - t0
 
@@ -253,8 +273,73 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
             "ladder": np.asarray(1.0 / betas_ladder).tolist(),
             "exchange_rates": exchange_rates.tolist(),
             "exchange_interval": cfg.exchange_interval,
+            # per-SLOT energies (cold→hot) time-averaged over the second half
+            # of the run (equilibrated) — the tune_ladder input
+            "slot_energy": np.asarray(hist["slot_energy"])[
+                n_super // 2:].mean(axis=0).tolist(),
         },
     )
+
+
+def tune_ladder(problem: IsingProblem, cfg: PTConfig,
+                n_pilot_sweeps: int = 200, n_iters: int = 2,
+                key: Optional[jax.Array] = None) -> Tuple[np.ndarray, dict]:
+    """Feedback-optimized temperature ladder (PAPERS.md: 'Speeding up
+    parallel tempering simulations' arXiv:1006.4247; 'Acceleration of
+    Parallel Tempering' arXiv:2512.03825).
+
+    A geometric ladder gives very uneven exchange rates on frustrated
+    instances (cold pairs exchange rarely, hot pairs always). This runs
+    short pilot PT runs, measures the mean energy per ladder slot, and
+    re-spaces the inverse temperatures so the predicted pairwise acceptance
+    log p ≈ -Δβ_k · |E(β_{k+1}) - E(β_k)| is EQUAL across pairs — the
+    constant-entropy-increment criterion. Each iteration re-measures on the
+    improved ladder.
+
+    Returns (temperatures hot→cold sorted ascending like temperature_ladder,
+    diagnostics dict). Use via ``PTConfig`` → ``run(problem, cfg,
+    ladder_override=...)`` or by replacing the config's ladder bounds.
+    """
+    import dataclasses as _dc
+
+    cfg_pilot = _dc.replace(cfg, n_sweeps=n_pilot_sweeps)
+    temps = temperature_ladder(cfg)                      # ascending (cold→hot)
+    diag = {"iterations": []}
+    if key is None:
+        key = jax.random.key(cfg.seed + 1)
+    for it in range(n_iters):
+        betas = 1.0 / temps
+        res = run(problem, cfg_pilot, key=key, ladder_override=temps)
+        key, _ = jax.random.split(key)
+        # mean energy per ladder SLOT from the coldest-replica trajectories is
+        # not stored per slot; use replica best/current energies mapped by slot
+        e_slot = np.asarray(res.metadata["slot_energy"])  # [R] cold→hot
+        rates = np.asarray(res.metadata["exchange_rates"])
+        # energy is monotone in T; enforce for stability
+        e_slot = np.maximum.accumulate(e_slot)
+        # first-order constant-acceptance spacing: for adjacent pair with
+        # gap Δβ, log p ≈ -Δβ·|ΔE| ≈ -(Δβ)²·|E'(β)| — equal acceptance ⟺
+        # equal increments of M(β) = ∫ sqrt(|E'(β)|) dβ. Interpolate E(β)
+        # on a fine grid, integrate the measure, place new betas at equal M.
+        b_nodes = betas[::-1]                # ascending (hot → cold β)
+        e_nodes = e_slot[::-1]               # descending in β
+        b_fine = np.linspace(b_nodes[0], b_nodes[-1], 1024)
+        e_fine = np.interp(b_fine, b_nodes, e_nodes)
+        e_prime = np.abs(np.gradient(e_fine, b_fine)) + 1e-12
+        mu = np.sqrt(e_prime)
+        m_cum = np.concatenate(
+            [[0.0], np.cumsum(0.5 * (mu[1:] + mu[:-1]) * np.diff(b_fine))])
+        m_targets = np.linspace(0.0, m_cum[-1], len(temps))
+        new_betas = np.interp(m_targets, m_cum, b_fine)
+        new_betas[0], new_betas[-1] = b_nodes[0], b_nodes[-1]
+        temps = np.sort(1.0 / new_betas).astype(np.float32)
+        diag["iterations"].append({
+            "exchange_rates": rates.tolist(),
+            "rate_spread": float(rates.max() - rates.min()) if rates.size
+            else 0.0,
+            "temps": temps.tolist(),
+        })
+    return temps, diag
 
 
 def exchange_rate_summary(result: AnnealResult) -> dict:

@@ -214,3 +214,52 @@ class TestResult:
                 energy_history=np.array([]), mean_energy_history=np.array([]),
                 temperature_history=np.array([]),
                 acceptance_history=np.array([]))
+
+
+class TestLadderTuning:
+    def test_tuned_ladder_reduces_rate_spread(self):
+        """Feedback-optimized ladder (arXiv:1006.4247) should equalize
+        pairwise exchange rates vs the geometric default on an SK glass."""
+        import numpy as np
+
+        from spinglass_tpu.anneal import pt as pt_mod
+        from spinglass_tpu.core import topology
+        from spinglass_tpu.core.problem import IsingProblem
+
+        n = 48
+        j = topology.fully_connected(n, dist="gaussian",
+                                     scale=1.0 / np.sqrt(n), seed=9)
+        p = IsingProblem.from_dense(j)
+        cfg = pt_mod.PTConfig(n_replicas=8, n_sweeps=400,
+                              exchange_interval=5, min_temp=0.2,
+                              max_temp=8.0, use_pallas="never", seed=0)
+        base = pt_mod.run(p, cfg)
+        base_rates = np.asarray(base.metadata["exchange_rates"])
+        temps, diag = pt_mod.tune_ladder(p, cfg, n_pilot_sweeps=200,
+                                         n_iters=2)
+        tuned = pt_mod.run(p, cfg, ladder_override=temps)
+        tuned_rates = np.asarray(tuned.metadata["exchange_rates"])
+        assert temps.shape == (8,)
+        assert np.all(np.diff(temps) > 0)  # strictly increasing ladder
+        # spread (max-min) should not get worse; usually shrinks a lot
+        assert tuned_rates.max() - tuned_rates.min() <= (
+            base_rates.max() - base_rates.min()) + 0.05
+        # endpoints preserved
+        np.testing.assert_allclose([temps[0], temps[-1]], [0.2, 8.0],
+                                   rtol=1e-5)
+
+    def test_ladder_override_plumbs_through(self):
+        import numpy as np
+
+        from spinglass_tpu.anneal import pt as pt_mod
+        from spinglass_tpu.core import topology
+        from spinglass_tpu.core.problem import IsingProblem
+
+        j = topology.fully_connected(16, dist="binary", seed=2)
+        p = IsingProblem.from_dense(j)
+        custom = np.geomspace(0.5, 3.0, 4).astype(np.float32)
+        cfg = pt_mod.PTConfig(n_replicas=4, n_sweeps=40, exchange_interval=10,
+                              use_pallas="never", seed=0)
+        res = pt_mod.run(p, cfg, ladder_override=custom)
+        np.testing.assert_allclose(res.metadata["ladder"], custom, rtol=1e-6)
+        assert "slot_energy" in res.metadata
