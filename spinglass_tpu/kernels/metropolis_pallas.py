@@ -165,6 +165,141 @@ def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision,
     return kernel
 
 
+def _make_kernel_pipe(rule: str, block_size: int, kernel_rng: bool, precision,
+                      j_bf16: bool = False, micro: int = MICRO):
+    """Software-pipelined variant: grid step bp PRE-COMPUTES block bp's local
+    fields H_pre = J_rows(bp) @ s (MXU) and then runs block bp-1's dependent
+    sequential loop (VPU). The two have no data dependency — H_pre(bp) misses
+    exactly block bp-1's flips, which the next step repairs with one
+    [B, B] x [B, R] sub-diagonal correction — so the TPU's asynchronous
+    MXU/VPU issue queues can overlap the big matmul with the update loop.
+    Grid is (r_tiles, n_blocks + 1): step 0 only prefetch-computes H_pre(0);
+    step n_blocks only drains the last loop.
+
+    Measured NEUTRAL on v5e at bench scale (9.95 vs 9.95 Gflips/s): the
+    in-order variant's 545 us/sweep is already below VPU(460) + MXU(175),
+    i.e. Mosaic/hardware overlaps the row matmul with the dependent loop
+    without the explicit pipeline. Kept as an option (decision-identical to
+    the base kernel under host uniforms — tested) for TPU generations with a
+    different MXU:VPU balance."""
+    prec = _PRECISIONS[precision]
+
+    def kernel(seed_ref,     # [1] SMEM int32
+               jrows_ref,    # [B, Np]  J rows of block bp (prefetch target)
+               jbb_ref,      # [B, B]   diag block of cur = bp-1
+               jbb_od_ref,   # [B, B]   same, diagonal C-blocks zeroed
+               jsub_ref,     # [B, B]   J[cur rows, cur-1 cols]
+               h_ref,        # [B, 1]   fields of block bp
+               u_ref,        # [B, R]   uniforms/mask of cur
+               beta_ref,     # [1, R]
+               s_in_ref,     # [Np, R]
+               s_io_ref,     # [Np, R]  aliased output
+               de_out,       # [1, R]
+               cnt_out,      # [1, R]
+               hpa,          # scratch [B, R] H_pre parity buffer (even bp)
+               hpb,          # scratch [B, R] H_pre parity buffer (odd bp)
+               ht,           # scratch [B, R] working fields of cur
+               sblk,         # scratch [B, R]
+               dsb,          # scratch [B, R] cur's deltas (persist to bp+1)
+               fb,           # scratch [B, R]
+               ub):          # scratch [B, R]
+        rt = pl.program_id(0)
+        bp = pl.program_id(1)
+        n_steps = pl.num_programs(1)          # n_blocks + 1
+        bb = block_size
+
+        @pl.when(bp == 0)
+        def _():
+            s_io_ref[:] = s_in_ref[:]
+            de_out[:] = jnp.zeros_like(de_out)
+            cnt_out[:] = jnp.zeros_like(cnt_out)
+
+        # ---- (a) prefetch-compute H_pre(bp) — independent of (b)'s loop ----
+        @pl.when(bp < n_steps - 1)
+        def _():
+            if j_bf16:
+                hp = jnp.dot(jrows_ref[:], s_io_ref[:].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32) + h_ref[:]
+            else:
+                hp = jnp.dot(jrows_ref[:], s_io_ref[:],
+                             preferred_element_type=jnp.float32,
+                             precision=prec) + h_ref[:]
+
+            @pl.when(bp % 2 == 0)
+            def _():
+                hpa[:] = hp
+
+            @pl.when(bp % 2 == 1)
+            def _():
+                hpb[:] = hp
+
+        # ---- (b) dependent sequential loop for block cur = bp - 1 ----------
+        @pl.when(bp > 0)
+        def _():
+            cur = bp - 1
+            i0 = pl.multiple_of(cur * bb, bb)
+            cur_even = (cur % 2) == 0
+            ht[:] = jnp.where(cur_even, hpa[:], hpb[:])
+
+            @pl.when(bp > 1)
+            def _():
+                # repair H_pre(cur): it predates block cur-1's flips (in dsb)
+                ht[:] = ht[:] + jnp.dot(jsub_ref[:], dsb[:],
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+
+            sblk[:] = s_io_ref[pl.ds(i0, bb), :]
+            if kernel_rng:
+                pltpu.prng_seed(seed_ref[0] + rt * (n_steps - 1) + cur)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(ub.shape),
+                                     jnp.int32)
+                ub[:] = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+                ub[:] = ub[:] + u_ref[:]
+            else:
+                ub[:] = u_ref[:]
+            nib = -0.5 / beta_ref[:]
+            if rule == "metropolis":
+                th = jnp.log(ub[:]) * nib
+            else:
+                th = (jnp.log(ub[:])
+                      - jnp.log1p(-jnp.minimum(ub[:], 0.999999))) * nib
+            ub[:] = jnp.where(ub[:] < 1.0, th, -jnp.inf)
+            for c in range(bb // micro):
+                lo, hi = c * micro, (c + 1) * micro
+                for j in range(micro):
+                    jj = lo + j
+                    row = sblk[jj:jj + 1, :]
+                    f = ht[jj:jj + 1, :]
+                    acc = row * f < ub[jj:jj + 1, :]
+                    ds = jnp.where(acc, -2.0 * row, 0.0)
+                    sblk[jj:jj + 1, :] = row + ds
+                    dsb[jj:jj + 1, :] = ds
+                    fb[jj:jj + 1, :] = f
+                    ht[lo:hi, :] = (ht[lo:hi, :]
+                                    + jbb_ref[lo:hi, jj:jj + 1] * ds)
+                ht[:] = ht[:] + jnp.dot(jbb_od_ref[:, lo:hi], dsb[lo:hi, :],
+                                        preferred_element_type=jnp.float32,
+                                        precision=prec)
+            s_io_ref[pl.ds(i0, bb), :] = sblk[:]
+            de_out[:] = de_out[:] - jnp.sum(dsb[:] * fb[:], axis=0,
+                                            keepdims=True)
+            cnt_out[:] = cnt_out[:] + 0.5 * jnp.sum(jnp.abs(dsb[:]), axis=0,
+                                                    keepdims=True)
+
+    return kernel
+
+
+def _sub_diag_blocks(j: jax.Array, block_size: int) -> jax.Array:
+    """[Np, Np] -> [Np, B]: stacked sub-diagonal blocks J[bB:(b+1)B,
+    (b-1)B:bB] (zeros for b = 0) — the pipelined kernel's repair operand."""
+    n_pad = j.shape[-1]
+    n_blocks = n_pad // block_size
+    jr = j.reshape(n_blocks, block_size, n_blocks, block_size)
+    sub = jnp.einsum("ibic->ibc", jnp.roll(jr, 1, axis=2))  # block (b, b-1)
+    sub = sub.at[0].set(0.0)
+    return sub.reshape(n_pad, block_size)
+
+
 def _diag_blocks(j: jax.Array, block_size: int) -> jax.Array:
     """[Np, Np] -> [Np, B]: stacked diagonal blocks J[bB:(b+1)B, bB:(b+1)B]."""
     n_pad = j.shape[-1]
@@ -258,6 +393,66 @@ def _build_call(n_pad: int, r: int, block_size: int, rule: str,
     )
 
 
+def _build_call_pipe(n_pad: int, r: int, block_size: int, rule: str,
+                     kernel_rng: bool, precision, interpret: bool, dtype,
+                     replica_tile: int = 0, j_bf16: bool = False,
+                     micro: int = MICRO):
+    """pallas_call for the software-pipelined kernel (_make_kernel_pipe):
+    grid (r_tiles, n_blocks + 1); extra jsub operand + 2 H_pre scratches."""
+    n_blocks = n_pad // block_size
+    rt = replica_tile or _pick_replica_tile(n_pad, r, block_size)
+    if r % rt != 0:
+        raise ValueError(f"replica count {r} not divisible by tile {rt}")
+    r_tiles = r // rt
+    kernel = _make_kernel_pipe(rule, block_size, kernel_rng, precision,
+                               j_bf16, micro)
+    last = n_blocks - 1
+
+    def _pre(t, b, sref):      # operands for the prefetched block bp
+        return (jnp.minimum(b, last), 0)
+
+    def _cur(t, b, sref):      # operands for the in-flight block bp-1
+        return (jnp.maximum(b - 1, 0), 0)
+
+    def _cur_t(t, b, sref):
+        return (jnp.maximum(b - 1, 0), t)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r_tiles, n_blocks + 1),
+        scratch_shapes=[pltpu.VMEM((block_size, rt), jnp.float32)
+                        for _ in range(7)],
+        in_specs=[
+            pl.BlockSpec((block_size, n_pad), _pre),                 # jrows
+            pl.BlockSpec((block_size, block_size), _cur),            # jbb
+            pl.BlockSpec((block_size, block_size), _cur),            # jbb_od
+            pl.BlockSpec((block_size, block_size), _cur),            # jsub
+            pl.BlockSpec((block_size, 1), _pre),                     # h
+            pl.BlockSpec((block_size, rt), _cur_t),                  # u
+            pl.BlockSpec((1, rt), lambda t, b, sref: (0, t)),        # beta
+            pl.BlockSpec((n_pad, rt), lambda t, b, sref: (0, t)),    # s_in
+        ],
+        out_specs=(
+            pl.BlockSpec((n_pad, rt), lambda t, b, sref: (0, t)),
+            pl.BlockSpec((1, rt), lambda t, b, sref: (0, t)),
+            pl.BlockSpec((1, rt), lambda t, b, sref: (0, t)),
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, r), dtype),
+            jax.ShapeDtypeStruct((1, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.float32),
+        ),
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(VMEM_BUDGET * 1.25)),
+        interpret=interpret,
+    )
+
+
 class FusedSweep:
     """Per-problem fused sweep engine, [N, R] spin layout, kernel RNG.
 
@@ -272,7 +467,7 @@ class FusedSweep:
     def __init__(self, problem: IsingProblem, block_size: int = 128,
                  rule: str = "metropolis", precision=None,
                  interpret: bool = False, j_dtype=jnp.float32,
-                 micro: int = MICRO):
+                 micro: int = MICRO, pipelined: bool = False):
         n_pad = problem.n_padded
         if n_pad % block_size != 0:
             raise ValueError(
@@ -284,10 +479,13 @@ class FusedSweep:
         self.interpret = interpret
         self.j_bf16 = j_dtype == jnp.bfloat16
         self.micro = micro
+        self.pipelined = pipelined
         self.j32 = problem.j.astype(j_dtype)
         # jbb blocks stay f32 (VPU elementwise + small MXU passes)
         self.jbb_all = _diag_blocks(self.j32, block_size).astype(jnp.float32)
         self.jbb_od_all = _zero_micro_diag(self.jbb_all, block_size, micro)
+        self.jsub_all = (_sub_diag_blocks(self.j32, block_size)
+                         .astype(jnp.float32) if pipelined else None)
         self.h_col = problem.h.astype(jnp.float32)[:, None]
         # mask column for kernel-rng mode: +2 on padded rows pushes u >= 2
         self.mask_col = jnp.where(problem.active_mask > 0, 0.0, 2.0)[:, None]
@@ -296,11 +494,19 @@ class FusedSweep:
     def _call(self, r: int, kernel_rng: bool):
         key = (r, kernel_rng)
         if key not in self._calls:
-            self._calls[key] = _build_call(
+            build = _build_call_pipe if self.pipelined else _build_call
+            self._calls[key] = build(
                 self.problem.n_padded, r, self.block_size, self.rule,
                 kernel_rng, self.precision, self.interpret, jnp.float32,
                 j_bf16=self.j_bf16, micro=self.micro)
         return self._calls[key]
+
+    def _operands(self, u, beta, spins_t):
+        if self.pipelined:
+            return (self.j32, self.jbb_all, self.jbb_od_all, self.jsub_all,
+                    self.h_col, u, beta, spins_t)
+        return (self.j32, self.jbb_all, self.jbb_od_all, self.h_col, u,
+                beta, spins_t)
 
     def __call__(self, spins_t: jax.Array, beta: jax.Array,
                  seed: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -311,8 +517,7 @@ class FusedSweep:
         mask = jnp.broadcast_to(self.mask_col, (n_pad, r))
         s_t, de, cnt = self._call(r, True)(
             jnp.asarray(seed, jnp.int32)[None],
-            self.j32, self.jbb_all, self.jbb_od_all, self.h_col, mask,
-            beta[None, :], spins_t)
+            *self._operands(mask, beta[None, :], spins_t))
         return s_t, de[0], cnt[0].astype(jnp.int32)
 
     def sweep_with_uniforms(self, spins_t: jax.Array, beta: jax.Array,
@@ -323,8 +528,7 @@ class FusedSweep:
         u = jnp.where(self.problem.active_mask[:, None] > 0, uniforms_t, 2.0)
         s_t, de, cnt = self._call(r, False)(
             jnp.zeros((1,), jnp.int32),
-            self.j32, self.jbb_all, self.jbb_od_all, self.h_col, u,
-            beta[None, :], spins_t)
+            *self._operands(u, beta[None, :], spins_t))
         return s_t, de[0], cnt[0].astype(jnp.int32)
 
 

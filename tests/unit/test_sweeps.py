@@ -250,3 +250,34 @@ class TestDetailedBalance:
         # total-variation distance small
         tv = 0.5 * np.abs(emp_aligned - probs).sum()
         assert tv < 0.05, f"TV distance {tv} too large — detailed balance broken?"
+
+
+class TestPipelinedKernel:
+    def test_pipelined_matches_base_decisions(self, key):
+        """The software-pipelined FusedSweep (prefetch H_pre + sub-diagonal
+        repair) must make bitwise-identical flip decisions to the in-order
+        kernel under the same host uniforms (interpret mode on CPU)."""
+        import jax
+        import numpy as np
+
+        from spinglass_tpu.core import topology
+        from spinglass_tpu.core.problem import IsingProblem, random_spins
+        from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
+
+        n, r = 256, 8
+        j = topology.fully_connected(n, dist="gaussian",
+                                     scale=1.0 / np.sqrt(n), seed=1)
+        p = IsingProblem.from_dense(j)
+        k1, k2 = jax.random.split(key)
+        spins = random_spins(k1, (r, p.n_padded), p.active_mask).T
+        u = jax.random.uniform(k2, (p.n_padded, r))
+        beta = jnp.float32(0.8)
+        base = FusedSweep(p, precision="highest", interpret=True)
+        pipe = FusedSweep(p, precision="highest", interpret=True,
+                          pipelined=True)
+        s0, de0, c0 = base.sweep_with_uniforms(spins, beta, u)
+        s1, de1, c1 = pipe.sweep_with_uniforms(spins, beta, u)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_allclose(np.asarray(de0), np.asarray(de1),
+                                   rtol=1e-4, atol=1e-3)
