@@ -74,9 +74,12 @@ def _make_problem(problem: str, size: int, seed: int):
 @click.option("--schedule", default="geometric")
 @click.option("--seed", default=42)
 @click.option("-o", "--output", default=None, help="save solution JSON")
+@click.option("--tune-ladder", is_flag=True,
+              help="PT only: feedback-optimize the temperature ladder with a "
+                   "pilot run before the main anneal")
 @click.option("--quiet", is_flag=True)
 def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
-          quiet):
+          tune_ladder, quiet):
     """Solve a randomly generated problem instance (reference cli.py:42-155)."""
     from spinglass_tpu.anneal import pt as pt_mod
     from spinglass_tpu.anneal.sa import SAConfig
@@ -93,9 +96,14 @@ def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
         sol = template.solve(cfg)
     else:
         template.encode_to_ising()
-        res = pt_mod.run(template.problem,
-                         pt_mod.PTConfig(n_replicas=replicas, n_sweeps=sweeps,
-                                         seed=seed))
+        cfg = pt_mod.PTConfig(n_replicas=replicas, n_sweeps=sweeps, seed=seed)
+        ladder = None
+        if tune_ladder:
+            ladder, _ = pt_mod.tune_ladder(
+                template.problem, cfg, n_pilot_sweeps=max(sweeps // 4, 50))
+            if not quiet:
+                click.echo(f"tuned ladder: {np.round(ladder, 3).tolist()}")
+        res = pt_mod.run(template.problem, cfg, ladder_override=ladder)
         sol = template.decode_solution(res.best_spins)
         sol.energy = res.best_energy
         sol.metadata["anneal"] = res.summary()
