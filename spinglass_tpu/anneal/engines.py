@@ -128,6 +128,9 @@ def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
     """Pick the sweep engine (replaces the reference's CUDA-vs-torch dispatch,
     annealing/gpu_annealer.py:199-234 / cuda_kernels.py:150-171)."""
     from spinglass_tpu.kernels.sparse import EllProblem, SparseEngine
+    from spinglass_tpu.kernels.sweeps import canonical_rule
+
+    update_rule = canonical_rule(update_rule)
 
     if isinstance(problem, EllProblem):
         return SparseEngine(problem, rule=update_rule)

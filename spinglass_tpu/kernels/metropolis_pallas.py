@@ -468,13 +468,14 @@ class FusedSweep:
                  rule: str = "metropolis", precision=None,
                  interpret: bool = False, j_dtype=jnp.float32,
                  micro: int = MICRO, pipelined: bool = False):
+        from spinglass_tpu.kernels.sweeps import canonical_rule
         n_pad = problem.n_padded
         if n_pad % block_size != 0:
             raise ValueError(
                 f"padded N={n_pad} not divisible by block {block_size}")
         self.problem = problem
         self.block_size = block_size
-        self.rule = rule
+        self.rule = canonical_rule(rule)
         self.precision = precision
         self.interpret = interpret
         self.j_bf16 = j_dtype == jnp.bfloat16

@@ -38,10 +38,27 @@ from jax import lax
 
 from spinglass_tpu.core.problem import IsingProblem
 
-UPDATE_RULES = ("metropolis", "glauber")
+UPDATE_RULES = ("metropolis", "glauber", "heat_bath")
+
+
+def canonical_rule(rule: str) -> str:
+    """Normalize an update-rule name.
+
+    The reference exposes Metropolis, Glauber, and heat-bath as separate
+    rules (core/spin_dynamics.py:131-191); for +-1 Ising spins the Glauber
+    and heat-bath flip probabilities are identical (sigmoid(-beta dE)), so
+    ``heat_bath`` maps onto the Glauber implementation.
+    """
+    if rule == "heat_bath":
+        return "glauber"
+    if rule not in UPDATE_RULES:
+        raise ValueError(
+            f"unknown update rule {rule!r}; expected one of {UPDATE_RULES}")
+    return rule
 
 
 def accept_prob(delta_e: jax.Array, beta: jax.Array, rule: str) -> jax.Array:
+    rule = canonical_rule(rule)
     if rule == "metropolis":
         # clamp the exponent at 0: dE<0 is always accepted and exp stays finite
         return jnp.exp(-beta * jnp.maximum(delta_e, 0.0))
@@ -62,6 +79,7 @@ def accept_threshold(uniforms: jax.Array, beta: jax.Array,
     Returned thresholds are divided by 2 so callers compare s·f = dE/2
     directly. u ≥ 1 (the padding sentinel) maps to -inf (never accept).
     """
+    rule = canonical_rule(rule)
     nib = -0.5 / beta
     if rule == "metropolis":
         th = jnp.log(uniforms) * nib

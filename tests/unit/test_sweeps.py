@@ -281,3 +281,35 @@ class TestPipelinedKernel:
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
         np.testing.assert_allclose(np.asarray(de0), np.asarray(de1),
                                    rtol=1e-4, atol=1e-3)
+
+
+class TestHeatBathRule:
+    """heat_bath is the reference's third update rule
+    (spin_dynamics.py:172-191); for +-1 Ising it equals Glauber, and the
+    framework must accept the name everywhere rules are plumbed."""
+
+    def test_canonical_rule(self):
+        assert K.canonical_rule("heat_bath") == "glauber"
+        assert K.canonical_rule("metropolis") == "metropolis"
+        with pytest.raises(ValueError):
+            K.canonical_rule("bogus")
+
+    def test_heat_bath_matches_glauber_decisions(self, key):
+        p = _mk_problem(16, seed=3)
+        k1, k2 = jax.random.split(key)
+        spins = random_spins(k1, (3, p.n_padded), p.active_mask)
+        u = jax.random.uniform(k2, (3, p.n_padded))
+        out_hb, de_hb, cnt_hb = K.blocked_sweep(
+            p, spins, jnp.float32(0.8), u, block_size=32, rule="heat_bath")
+        out_gl, de_gl, cnt_gl = K.blocked_sweep(
+            p, spins, jnp.float32(0.8), u, block_size=32, rule="glauber")
+        np.testing.assert_array_equal(np.asarray(out_hb), np.asarray(out_gl))
+        np.testing.assert_array_equal(np.asarray(cnt_hb), np.asarray(cnt_gl))
+
+    def test_engine_accepts_heat_bath(self, key):
+        from spinglass_tpu.anneal.engines import make_engine
+
+        p = _mk_problem(16, seed=4)
+        eng = make_engine(p, sweep_method="blocked", use_pallas="never",
+                          update_rule="heat_bath")
+        assert eng.rule == "glauber"
