@@ -42,6 +42,10 @@ class DQNConfig:
     batch_size: int = 128
     annealing_weight: float = 0.3       # prob of using the cooling heuristic
     weight_adapt_rate: float = 0.05
+    prioritized_replay: bool = False    # proportional PER (training_pipeline.py:82-133)
+    per_alpha: float = 0.6              # prioritization exponent
+    per_beta: float = 0.4               # importance-sampling exponent
+    per_eps: float = 1e-3               # priority floor
     seed: int = 0
 
 
@@ -108,6 +112,81 @@ class ReplayBuffer:
 
 
 @struct.dataclass
+class PrioritizedReplayBuffer:
+    """Proportional prioritized experience replay, fully on-device.
+
+    Rebuilds the reference's PrioritizedReplayBuffer (rl_integration/
+    training_pipeline.py:82-133: priority ∝ |TD error|^alpha, importance
+    weights (N p_i)^-beta normalized by the max) with fixed shapes: sampling
+    is one ``jax.random.categorical`` over masked log-priorities instead of
+    the reference's O(S) numpy cumulative-sum walk, so it jits and stays on
+    the TPU with the learner.
+    """
+
+    obs: jax.Array        # [S, obs_dim]
+    action: jax.Array     # [S]
+    reward: jax.Array     # [S]
+    next_obs: jax.Array   # [S, obs_dim]
+    done: jax.Array       # [S]
+    priority: jax.Array   # [S] f32, 0 on never-written slots
+    ptr: jax.Array        # i32
+    size: jax.Array       # i32
+
+    @staticmethod
+    def create(capacity: int, obs_dim: int) -> "PrioritizedReplayBuffer":
+        return PrioritizedReplayBuffer(
+            obs=jnp.zeros((capacity, obs_dim), jnp.float32),
+            action=jnp.zeros((capacity,), jnp.int32),
+            reward=jnp.zeros((capacity,), jnp.float32),
+            next_obs=jnp.zeros((capacity, obs_dim), jnp.float32),
+            done=jnp.zeros((capacity,), bool),
+            priority=jnp.zeros((capacity,), jnp.float32),
+            ptr=jnp.asarray(0, jnp.int32),
+            size=jnp.asarray(0, jnp.int32),
+        )
+
+    def push_batch(self, obs, action, reward, next_obs,
+                   done) -> "PrioritizedReplayBuffer":
+        b = obs.shape[0]
+        cap = self.obs.shape[0]
+        idx = (self.ptr + jnp.arange(b)) % cap
+        # new transitions enter at the current max priority so they are
+        # sampled at least once (standard PER; matches the reference's
+        # max-priority insertion)
+        p_new = jnp.maximum(jnp.max(self.priority), 1.0)
+        return self.replace(
+            obs=self.obs.at[idx].set(obs),
+            action=self.action.at[idx].set(action),
+            reward=self.reward.at[idx].set(reward),
+            next_obs=self.next_obs.at[idx].set(next_obs),
+            done=self.done.at[idx].set(done),
+            priority=self.priority.at[idx].set(p_new),
+            ptr=(self.ptr + b) % cap,
+            size=jnp.minimum(self.size + b, cap),
+        )
+
+    def sample(self, key, batch_size: int, alpha: float, beta: float):
+        """Returns (batch dict, indices, importance weights)."""
+        cap = self.obs.shape[0]
+        valid = jnp.arange(cap) < self.size
+        logits = jnp.where(
+            valid, alpha * jnp.log(jnp.maximum(self.priority, 1e-12)),
+            -jnp.inf)
+        idx = jax.random.categorical(key, logits, shape=(batch_size,))
+        probs = jax.nn.softmax(logits)
+        n = jnp.maximum(self.size, 1).astype(jnp.float32)
+        w = (n * jnp.maximum(probs[idx], 1e-12)) ** (-beta)
+        w = w / jnp.maximum(jnp.max(w), 1e-12)
+        batch = {k: getattr(self, k)[idx]
+                 for k in ("obs", "action", "reward", "next_obs", "done")}
+        return batch, idx, w
+
+    def update_priorities(self, idx, td_abs,
+                          eps: float) -> "PrioritizedReplayBuffer":
+        return self.replace(priority=self.priority.at[idx].set(td_abs + eps))
+
+
+@struct.dataclass
 class DQNState:
     params: dict
     target_params: dict
@@ -147,9 +226,11 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
         key, k_env, k_par = jax.random.split(key, 3)
         env_state, obs = env_mod.reset(problem, env_cfg, k_env)
         params = model.init(k_par, obs)
+        buf_cls = (PrioritizedReplayBuffer if cfg.prioritized_replay
+                   else ReplayBuffer)
         return DQNState(
             params=params, target_params=params, opt_state=tx.init(params),
-            buffer=ReplayBuffer.create(cfg.buffer_size, env_mod.OBS_DIM),
+            buffer=buf_cls.create(cfg.buffer_size, env_mod.OBS_DIM),
             env_state=env_state, obs=obs, key=key,
             step=jnp.asarray(0, jnp.int32),
             annealing_weight=jnp.asarray(cfg.annealing_weight, jnp.float32),
@@ -196,8 +277,13 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
             h_ema - rl_ema) * 0.01
         w = jnp.clip(w, 0.05, 0.95)
 
-        # DQN TD update
-        batch = buffer.sample(k_samp, cfg.batch_size)
+        # DQN TD update (importance-weighted when PER is on)
+        if cfg.prioritized_replay:
+            batch, samp_idx, is_w = buffer.sample(
+                k_samp, cfg.batch_size, cfg.per_alpha, cfg.per_beta)
+        else:
+            batch = buffer.sample(k_samp, cfg.batch_size)
+            samp_idx, is_w = None, jnp.ones((cfg.batch_size,), jnp.float32)
 
         def loss_fn(params):
             qs = model.apply(params, batch["obs"])
@@ -206,9 +292,13 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
             q_next = model.apply(state.target_params, batch["next_obs"])
             target = batch["reward"] + cfg.gamma * jnp.max(q_next, -1) * (
                 1.0 - batch["done"].astype(jnp.float32))
-            return jnp.mean((q_sel - lax.stop_gradient(target)) ** 2)
+            td = q_sel - lax.stop_gradient(target)
+            return jnp.mean(is_w * td ** 2), jnp.abs(td)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, td_abs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        if cfg.prioritized_replay:
+            buffer = buffer.update_priorities(samp_idx, td_abs, cfg.per_eps)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         target_params = jax.tree.map(

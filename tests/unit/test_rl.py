@@ -230,3 +230,64 @@ class TestPipeline:
             problem=_problem(16))
         out = pipe.train()
         assert len(out["metrics"]) == 2
+
+
+class TestPrioritizedReplay:
+    """PER parity with the reference PrioritizedReplayBuffer
+    (training_pipeline.py:82-133): proportional sampling, IS weights,
+    priority updates, and an end-to-end DQN step with PER enabled."""
+
+    def test_sampling_prefers_high_priority(self):
+        import jax
+
+        buf = dqn_mod.PrioritizedReplayBuffer.create(8, 2)
+        obs = jnp.arange(16, dtype=jnp.float32).reshape(8, 2)
+        buf = buf.push_batch(obs, jnp.arange(8, dtype=jnp.int32),
+                             jnp.zeros(8), obs, jnp.zeros(8, bool))
+        # concentrate priority on slot 3
+        pr = jnp.full((8,), 1e-3).at[3].set(100.0)
+        buf = buf.replace(priority=pr)
+        _, idx, w = buf.sample(jax.random.key(0), 256, alpha=1.0, beta=0.4)
+        frac3 = float(jnp.mean((idx == 3).astype(jnp.float32)))
+        assert frac3 > 0.9
+        # rare (low-priority) samples get the LARGER importance weight
+        if bool(jnp.any(idx != 3)):
+            w_rare = float(jnp.max(jnp.where(idx != 3, w, 0.0)))
+            w_common = float(jnp.max(jnp.where(idx == 3, w, 0.0)))
+            assert w_rare >= w_common
+        assert float(jnp.max(w)) <= 1.0 + 1e-6
+
+    def test_update_priorities(self):
+        buf = dqn_mod.PrioritizedReplayBuffer.create(4, 2)
+        obs = jnp.zeros((4, 2))
+        buf = buf.push_batch(obs, jnp.zeros(4, jnp.int32), jnp.zeros(4),
+                             obs, jnp.zeros(4, bool))
+        buf = buf.update_priorities(jnp.array([1, 2]),
+                                    jnp.array([5.0, 0.5]), eps=1e-3)
+        assert abs(float(buf.priority[1]) - 5.001) < 1e-5
+        assert abs(float(buf.priority[2]) - 0.501) < 1e-5
+
+    def test_new_transitions_get_max_priority(self):
+        buf = dqn_mod.PrioritizedReplayBuffer.create(8, 2)
+        obs = jnp.zeros((2, 2))
+        buf = buf.push_batch(obs, jnp.zeros(2, jnp.int32), jnp.zeros(2),
+                             obs, jnp.zeros(2, bool))
+        buf = buf.update_priorities(jnp.array([0]), jnp.array([7.0]), 0.0)
+        buf = buf.push_batch(obs, jnp.zeros(2, jnp.int32), jnp.zeros(2),
+                             obs, jnp.zeros(2, bool))
+        assert float(buf.priority[2]) == 7.0
+
+    def test_dqn_step_with_per(self):
+        import jax
+
+        problem = _problem(16)
+        env_cfg = env_mod.EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8)
+        cfg = dqn_mod.DQNConfig(buffer_size=64, batch_size=16,
+                                prioritized_replay=True)
+        init_fn, step_fn, _ = dqn_mod.make_dqn(problem, env_cfg, cfg)
+        state = init_fn(jax.random.key(0))
+        for _ in range(3):
+            state, metrics = step_fn(state)
+        assert np.isfinite(float(metrics["loss"]))
+        # priorities were refreshed by the TD errors of sampled transitions
+        assert float(jnp.max(state.buffer.priority)) > 0.0
