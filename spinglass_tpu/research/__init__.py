@@ -27,3 +27,7 @@ from spinglass_tpu.research.unified import (
     ProblemAnalyzer, AlgorithmSelector, UnifiedResearchFramework,
     ProblemAnalysis,
 )
+from spinglass_tpu.research.meta_rl import (
+    AdaptiveMetaRLAgent, EpisodicMemory, MetaLearningNetwork, MetaRLConfig,
+    NeuralArchitectureSearch, ProblemCharacterizer, fit_meta_network,
+)
