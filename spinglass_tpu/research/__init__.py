@@ -27,6 +27,10 @@ from spinglass_tpu.research.unified import (
     ProblemAnalyzer, AlgorithmSelector, UnifiedResearchFramework,
     ProblemAnalysis,
 )
+from spinglass_tpu.research.breakthrough import (
+    AdaptiveNeuralAnnealer, BreakthroughConfig, BreakthroughResearchFramework,
+    FederatedOptimizationNetwork, QuantumErrorCorrectedAnnealer,
+)
 from spinglass_tpu.research.meta_rl import (
     AdaptiveMetaRLAgent, EpisodicMemory, MetaLearningNetwork, MetaRLConfig,
     NeuralArchitectureSearch, ProblemCharacterizer, fit_meta_network,
