@@ -132,7 +132,13 @@ def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
 
     update_rule = canonical_rule(update_rule)
 
+    from spinglass_tpu.kernels.sparse import SortedSparseEngine
+
     if isinstance(problem, EllProblem):
+        if sweep_method == "sparse_compact":
+            return SparseEngine(problem, rule=update_rule)
+        return SortedSparseEngine(problem, rule=update_rule)
+    if sweep_method == "sparse_compact":
         return SparseEngine(problem, rule=update_rule)
     if sweep_method == "sparse" or (
             sweep_method == "auto"
@@ -140,9 +146,7 @@ def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
             and topology.density(
                 np.asarray(problem.j)[: problem.n_spins, : problem.n_spins])
             < SPARSE_DENSITY_THRESHOLD):
-        from spinglass_tpu.kernels.sparse import SparseEngine
-
-        return SparseEngine(problem, rule=update_rule)
+        return SortedSparseEngine(problem, rule=update_rule)
     if sweep_method in ("auto", "colored"):
         j_np = np.asarray(problem.j)[: problem.n_spins, : problem.n_spins]
         try:

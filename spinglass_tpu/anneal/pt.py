@@ -220,12 +220,28 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
     def _build():
         super_step, _, engine = make_pt_step(problem, cfg)
 
+        # ONE jitted dispatch for the whole run: replica init, the full
+        # super-step scan, and best-replica selection all happen on device —
+        # separate init/result dispatches cost 30-45 ms each through a
+        # remote-TPU tunnel and dominated 10k-spin PT wall time.
         @jax.jit
-        def run_all(state, betas):
+        def run_all(key, betas):
+            state = init_state(problem, cfg, key, engine)
+
             def step(st, x):
                 return super_step(st, x, betas=betas)
 
-            return lax.scan(step, state, None, length=n_super)
+            state, hist = lax.scan(step, state, None, length=n_super)
+            best_r = jnp.argmin(state.best_energy)
+            best_spins = engine.from_layout(state.best_spins)[best_r]
+            return {
+                "best_spins": best_spins,
+                "best_energy": jnp.min(state.best_energy),
+                "replica_best": state.best_energy,
+                "exch_attempts": state.exch_attempts,
+                "exch_accepts": state.exch_accepts,
+                "hist": hist,
+            }
 
         return run_all, engine
 
@@ -238,29 +254,27 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)
+    if key is None:
+        key = jax.random.key(cfg.seed)
 
-    state = init_state(problem, cfg, key, engine)
     t0 = time.perf_counter()
-    state, hist = run_all(state, betas_ladder)
-    jax.block_until_ready(state.spins)
+    out = jax.device_get(run_all(key, betas_ladder))   # one dispatch, one read
     total = time.perf_counter() - t0
 
-    state = state.replace(spins=engine.from_layout(state.spins),
-                          best_spins=engine.from_layout(state.best_spins))
+    hist = out["hist"]
     sweeps_done = n_super * cfg.exchange_interval
-    best_r = int(jnp.argmin(state.best_energy))
-    attempts = np.maximum(np.asarray(state.exch_attempts), 1)
-    exchange_rates = np.asarray(state.exch_accepts) / attempts
+    attempts = np.maximum(out["exch_attempts"], 1)
+    exchange_rates = out["exch_accepts"] / attempts
     flips = sweeps_done * cfg.n_replicas * problem.n_spins
     return AnnealResult(
-        best_spins=np.asarray(state.best_spins[best_r])[: problem.n_spins],
-        best_energy=float(jnp.min(state.best_energy)),
-        replica_best_energy=np.asarray(state.best_energy),
-        energy_history=np.asarray(hist["best_energy"]),
-        mean_energy_history=np.asarray(hist["cold_energy"]),
-        temperature_history=np.asarray(
-            jnp.broadcast_to(1.0 / betas_ladder[0], (n_super,))),
-        acceptance_history=np.asarray(hist["mean_acceptance"]),
+        best_spins=out["best_spins"][: problem.n_spins],
+        best_energy=float(out["best_energy"]),
+        replica_best_energy=out["replica_best"],
+        energy_history=hist["best_energy"],
+        mean_energy_history=hist["cold_energy"],
+        temperature_history=np.broadcast_to(
+            1.0 / np.asarray(betas_ladder)[0], (n_super,)).copy(),
+        acceptance_history=hist["mean_acceptance"],
         n_sweeps=sweeps_done,
         n_replicas=cfg.n_replicas,
         total_time=total,
@@ -275,8 +289,8 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
             "exchange_interval": cfg.exchange_interval,
             # per-SLOT energies (cold→hot) time-averaged over the second half
             # of the run (equilibrated) — the tune_ladder input
-            "slot_energy": np.asarray(hist["slot_energy"])[
-                n_super // 2:].mean(axis=0).tolist(),
+            "slot_energy": hist["slot_energy"][n_super // 2:].mean(
+                axis=0).tolist(),
         },
     )
 

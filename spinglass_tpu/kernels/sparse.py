@@ -249,6 +249,127 @@ def sparse_colored_sweep_compact(
     return spins, de_acc, cnt
 
 
+# ---------------------------------------------------------------------------
+# Sorted sliced-ELL sweep — contiguous color classes + per-degree-bucket K
+# ---------------------------------------------------------------------------
+
+class SortedBucket:
+    """One degree bucket of one color class, in the color-sorted spin layout.
+
+    Spins [off, off+m) of the sorted layout form (part of) an independent
+    set; their neighbor lists are padded only to THIS bucket's max degree k
+    (sliced-ELL / SELL: per-slice K instead of the global max degree — on an
+    avg-degree-6 / max-degree-19 graph this cuts gather work ~3x)."""
+
+    def __init__(self, off: int, idx: np.ndarray, val: np.ndarray,
+                 h: np.ndarray):
+        self.off = int(off)
+        self.m = int(idx.shape[0])
+        self.k = int(idx.shape[1])
+        self.idx = jnp.asarray(idx, jnp.int32)        # [m, k] sorted-layout indices
+        self.val = jnp.asarray(val, jnp.float32)      # [m, k]
+        self.h = jnp.asarray(h, jnp.float32)          # [m]
+
+
+def build_sorted_buckets(ell: EllProblem, colors: np.ndarray,
+                         n_buckets: int = 4):
+    """Host-side precompute for the sorted sliced-ELL sweep.
+
+    Returns (perm [Np], inv_perm [Np], buckets). ``perm`` maps sorted
+    position -> original index; within each color class nodes are sorted by
+    descending degree and split at degree quantiles so each bucket's K is
+    its own max degree. Order of buckets preserves color barriers (all of
+    color 0, then color 1, ...); buckets within a color are subsets of the
+    same independent set, so applying them sequentially equals applying the
+    color simultaneously."""
+    colors = np.asarray(colors)
+    idx_np = np.asarray(ell.idx)
+    val_np = np.asarray(ell.val)
+    h_np = np.asarray(ell.h, np.float32)
+    n_pad = ell.n_padded
+    degs = (val_np != 0).sum(axis=1)
+
+    order: list = []
+    spans: list = []  # (start, node_array) per bucket in sorted coords
+    c_count = int(colors.max()) + 1 if colors.size else 1
+    pos = 0
+    for c in range(c_count):
+        cl = np.nonzero(colors == c)[0]
+        if len(cl) == 0:
+            continue
+        cl = cl[np.argsort(-degs[cl], kind="stable")]
+        # split at degree quantiles; merge adjacent splits with equal K
+        nb = min(n_buckets, len(cl))
+        splits = np.array_split(cl, nb)
+        merged = [splits[0]]
+        for s in splits[1:]:
+            if len(s) == 0:
+                continue
+            if degs[s].max(initial=0) == degs[merged[-1]].max(initial=0):
+                merged[-1] = np.concatenate([merged[-1], s])
+            else:
+                merged.append(s)
+        for nodes in merged:
+            if len(nodes) == 0:
+                continue
+            order.append(nodes)
+            spans.append((pos, nodes))
+            pos += len(nodes)
+    # leftover positions (padding rows / uncolored) go at the end, never swept
+    covered = np.concatenate(order) if order else np.zeros(0, np.int64)
+    rest = np.setdiff1d(np.arange(n_pad), covered)
+    perm = np.concatenate([covered, rest]).astype(np.int64)
+    inv_perm = np.empty(n_pad, np.int64)
+    inv_perm[perm] = np.arange(n_pad)
+
+    buckets = []
+    for start, nodes in spans:
+        k_b = max(int(degs[nodes].max(initial=1)), 1)
+        rows_idx = idx_np[nodes][:, :]
+        rows_val = val_np[nodes][:, :]
+        # compact each row's nonzeros to the front, then cut at k_b
+        m = len(nodes)
+        idx_b = np.tile(inv_perm[nodes][:, None], (1, k_b)).astype(np.int64)
+        val_b = np.zeros((m, k_b), np.float32)
+        for r in range(m):
+            nz = np.nonzero(rows_val[r])[0]
+            idx_b[r, : len(nz)] = inv_perm[rows_idx[r, nz]]
+            val_b[r, : len(nz)] = rows_val[r, nz]
+        buckets.append(SortedBucket(start, idx_b, val_b, h_np[nodes]))
+    return perm, inv_perm, buckets
+
+
+def make_sorted_sweep(buckets, n_padded: int, rule: str = "metropolis"):
+    """Build the traceable sorted sliced-ELL sweep.
+
+    spins [R, Np] in SORTED layout; spin at sorted position p consumes
+    uniforms[:, p]. Per bucket: one neighbor gather [R, m, k] plus
+    contiguous static slices for everything else — no node gathers, no
+    scatter (vs sparse_colored_sweep_compact's 3 index-ops per color)."""
+
+    def sweep(spins, beta, uniforms):
+        r = spins.shape[0]
+        beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+        from spinglass_tpu.kernels.sweeps import accept_threshold
+
+        th = accept_threshold(uniforms, beta[:, None], rule)
+        de_acc = jnp.zeros((r,), jnp.float32)
+        cnt = jnp.zeros((r,), jnp.int32)
+        for b in buckets:
+            gathered = spins[:, b.idx]                      # [R, m, k]
+            f = jnp.einsum("rmk,mk->rm", gathered, b.val) + b.h[None, :]
+            s_c = lax.slice_in_dim(spins, b.off, b.off + b.m, axis=1)
+            sf = s_c.astype(jnp.float32) * f
+            acc = sf < lax.slice_in_dim(th, b.off, b.off + b.m, axis=1)
+            ds = jnp.where(acc, -2.0 * s_c, 0.0)
+            spins = lax.dynamic_update_slice(spins, s_c + ds, (0, b.off))
+            de_acc = de_acc + 2.0 * jnp.sum(jnp.where(acc, sf, 0.0), axis=-1)
+            cnt = cnt + jnp.sum(acc, axis=-1).astype(jnp.int32)
+        return spins, de_acc, cnt
+
+    return sweep
+
+
 class SparseEngine:
     """Sweep engine over ELL problems (engines.SweepEngine contract,
     layout 'rn'). Selected automatically for low-density large instances;
@@ -302,3 +423,81 @@ class SparseEngine:
                 self.ell, self.groups, spins, beta, uniforms, rule=self.rule)
         return sparse_colored_sweep(self.ell, self.masks, spins, beta,
                                     uniforms, rule=self.rule)
+
+
+class SortedSparseEngine:
+    """Sorted sliced-ELL sweep engine — the fast sparse path on TPU.
+
+    Improvements over SparseEngine(compact=True), both per sweep:
+    * sliced-ELL: per-bucket K = that bucket's max degree instead of the
+      global max degree (~3x less gather work on irregular-degree graphs);
+    * color-sorted spin layout: spin reads/writes are contiguous slices, so
+      the node-gather, threshold-gather, and scatter-add of the compact
+      sweep disappear — only the irreducible neighbor gather remains.
+
+    State lives in the sorted layout between sweeps; ``to_layout`` /
+    ``from_layout`` convert at the run boundary (the SweepEngine contract
+    the SA/PT drivers already use)."""
+
+    layout = "rn"
+    name = "sparse_sorted"
+
+    def __init__(self, problem, rule: str = "metropolis",
+                 max_colors: int = 256, n_buckets: int = 4):
+        from spinglass_tpu.kernels.sweeps import canonical_rule
+
+        self.problem = problem
+        self.rule = canonical_rule(rule)
+        if isinstance(problem, EllProblem):
+            ell = problem
+            idx = np.asarray(problem.idx)
+            val = np.asarray(problem.val)
+            rows_l, cols_l = np.nonzero(val)
+            rows = rows_l.astype(np.int64)
+            cols = idx[rows_l, cols_l].astype(np.int64)
+            colors = topology.greedy_coloring_coo(
+                rows, cols, problem.n_spins, max_colors=max_colors,
+                balanced=True)
+        else:
+            ell = EllProblem.from_problem(problem)
+            n = problem.n_spins
+            j_np = np.asarray(problem.j)[:n, :n]
+            rows, cols = (a.astype(np.int64) for a in np.nonzero(j_np))
+            colors = topology.greedy_coloring_coo(rows, cols, n,
+                                                  max_colors=max_colors,
+                                                  balanced=True)
+        self.ell = ell
+        self.n_colors = int(colors.max()) + 1 if colors.size else 1
+        self.perm, self.inv_perm, self.buckets = build_sorted_buckets(
+            ell, colors, n_buckets=n_buckets)
+        self._perm_j = jnp.asarray(self.perm)
+        self._inv_perm_j = jnp.asarray(self.inv_perm)
+        # full sorted ELL for energy evaluation in the sorted layout
+        idx_np = np.asarray(ell.idx)
+        self.ell_sorted = EllProblem(
+            idx=jnp.asarray(self.inv_perm[idx_np[self.perm]].astype(np.int32)),
+            val=ell.val[self._perm_j],
+            h=ell.h[self._perm_j],
+            active_mask=ell.active_mask[self._perm_j],
+            n_spins=ell.n_spins,
+        )
+        self._sweep = make_sorted_sweep(self.buckets, ell.n_padded,
+                                        rule=self.rule)
+
+    def energy(self, spins):
+        return sparse_energy(self.ell_sorted, spins)
+
+    def to_layout(self, spins_rn):
+        return spins_rn[:, self._perm_j]
+
+    def from_layout(self, spins):
+        return spins[:, self._inv_perm_j]
+
+    def sweep(self, spins, beta, key):
+        uniforms = jax.random.uniform(key, spins.shape, jnp.float32)
+        return self._sweep(spins, beta, uniforms)
+
+    def sweep_with_uniforms(self, spins, beta, uniforms_sorted):
+        """Deterministic-uniform entry for tests (uniforms already in the
+        sorted layout: sorted position p consumes uniforms[:, p])."""
+        return self._sweep(spins, beta, uniforms_sorted)

@@ -59,7 +59,7 @@ class TestSparse:
         j = topology.random_graph(2100, density=0.004, seed=1)
         p = IsingProblem.from_dense(j)
         eng = make_engine(p)
-        assert eng.name == "sparse_colored"
+        assert eng.name == "sparse_sorted"
         # and a dense problem of the same size stays dense
         jd = topology.fully_connected(256, dist="binary", seed=0)
         eng2 = make_engine(IsingProblem.from_dense(jd))
@@ -384,3 +384,84 @@ class TestSwendsenWang:
         frac_flipped = float(jnp.mean(
             (s2 != spins)[:, :n].astype(jnp.float32)))
         assert 0.3 < frac_flipped < 0.7
+
+
+class TestSortedSparseEngine:
+    """Sorted sliced-ELL engine (kernels/sparse.py SortedSparseEngine):
+    layout permutation correctness, energy identity, and exact decision
+    parity with the compact colored sweep."""
+
+    def _ell(self, n=300, seed=3):
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+                                               dist="gaussian", seed=seed)
+        return EllProblem.from_coo(n, *coo)
+
+    def test_layout_roundtrip_and_energy(self, key):
+        from spinglass_tpu.kernels.sparse import (SortedSparseEngine,
+                                                  sparse_energy)
+
+        ell = self._ell()
+        eng = SortedSparseEngine(ell)
+        spins = jnp.where(jax.random.uniform(key, (3, ell.n_padded)) < 0.5,
+                          -1.0, 1.0)
+        s_sorted = eng.to_layout(spins)
+        assert bool(jnp.all(eng.from_layout(s_sorted) == spins))
+        np.testing.assert_allclose(np.asarray(eng.energy(s_sorted)),
+                                   np.asarray(sparse_energy(ell, spins)),
+                                   rtol=1e-5, atol=1e-3)
+
+    def test_energy_identity_after_sweep(self, key):
+        from spinglass_tpu.kernels.sparse import SortedSparseEngine
+
+        ell = self._ell()
+        eng = SortedSparseEngine(ell)
+        k1, k2 = jax.random.split(key)
+        spins = eng.to_layout(jnp.where(
+            jax.random.uniform(k1, (4, ell.n_padded)) < 0.5, -1.0, 1.0))
+        e0 = eng.energy(spins)
+        s1, de, cnt = eng.sweep(spins, jnp.float32(0.8), k2)
+        e1 = eng.energy(s1)
+        np.testing.assert_allclose(np.asarray(e0 + de), np.asarray(e1),
+                                   rtol=1e-4, atol=1e-2)
+        assert int(jnp.sum(cnt)) > 0
+
+    def test_decision_parity_with_compact(self, key):
+        """Same coloring + same per-spin uniforms -> identical flips."""
+        from spinglass_tpu.kernels.sparse import (
+            SortedSparseEngine, SparseEngine, sparse_colored_sweep_compact)
+
+        ell = self._ell()
+        eng = SortedSparseEngine(ell)
+        ceng = SparseEngine(ell, compact=True)
+        k1, k2 = jax.random.split(key)
+        spins = jnp.where(jax.random.uniform(k1, (4, ell.n_padded)) < 0.5,
+                          -1.0, 1.0)
+        u_orig = jax.random.uniform(k2, (4, ell.n_padded))
+        u_sorted = u_orig[:, jnp.asarray(eng.perm)]
+        s_sorted, _, cnt_s = eng.sweep_with_uniforms(
+            eng.to_layout(spins), jnp.float32(0.7), u_sorted)
+        s_compact, _, cnt_c = sparse_colored_sweep_compact(
+            ell, ceng.groups, spins, jnp.float32(0.7), u_orig)
+        np.testing.assert_array_equal(np.asarray(cnt_s), np.asarray(cnt_c))
+        np.testing.assert_array_equal(
+            np.asarray(eng.from_layout(s_sorted)), np.asarray(s_compact))
+
+    def test_buckets_cover_all_spins_once(self):
+        from spinglass_tpu.kernels.sparse import SortedSparseEngine
+
+        ell = self._ell()
+        eng = SortedSparseEngine(ell)
+        covered = np.concatenate(
+            [eng.perm[b.off:b.off + b.m] for b in eng.buckets])
+        assert len(covered) == ell.n_spins
+        assert len(np.unique(covered)) == ell.n_spins
+
+    def test_sliced_k_smaller_than_global(self):
+        from spinglass_tpu.kernels.sparse import SortedSparseEngine
+
+        ell = self._ell()
+        eng = SortedSparseEngine(ell)
+        ks = [b.k for b in eng.buckets]
+        assert min(ks) < ell.max_degree  # slicing actually reduced K
