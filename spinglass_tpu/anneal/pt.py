@@ -42,6 +42,10 @@ class PTConfig:
     parallel_tempering.py:16-36)."""
 
     n_replicas: int = 8
+    n_chains: int = 1          # independent PT chains swept together: the
+    # sparse/dense sweeps are nearly replica-width-insensitive on TPU (per-
+    # index gather overhead dominates), so extra chains cost little wall time
+    # and multiply the independent samples for time-to-target
     n_sweeps: int = 1000
     min_temp: float = 0.1
     max_temp: float = 10.0
@@ -100,14 +104,16 @@ def init_state(problem: IsingProblem, cfg: PTConfig,
     if key is None:
         key = jax.random.key(cfg.seed)
     key, sub = jax.random.split(key)
-    spins = random_spins(sub, (cfg.n_replicas, problem.n_padded),
+    r_total = cfg.n_replicas * cfg.n_chains
+    spins = random_spins(sub, (r_total, problem.n_padded),
                          problem.active_mask)
     if engine is not None:
         spins = engine.to_layout(spins)
     e = _energy_in_layout(problem, engine, spins)
     return PTState(
         spins=spins,
-        slot=jnp.arange(cfg.n_replicas, dtype=jnp.int32),
+        slot=jnp.tile(jnp.arange(cfg.n_replicas, dtype=jnp.int32),
+                      cfg.n_chains),
         energy=e,
         best_energy=e,
         best_spins=spins,
@@ -115,7 +121,7 @@ def init_state(problem: IsingProblem, cfg: PTConfig,
         sweep=jnp.asarray(0, jnp.int32),
         exch_attempts=jnp.zeros((cfg.n_replicas - 1,), jnp.int32),
         exch_accepts=jnp.zeros((cfg.n_replicas - 1,), jnp.int32),
-        acc_rate=jnp.zeros((cfg.n_replicas,), jnp.float32),
+        acc_rate=jnp.zeros((r_total,), jnp.float32),
     )
 
 
