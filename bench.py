@@ -1,11 +1,17 @@
-"""Headline benchmark: spin-flips/sec/chip on dense spin-glass annealing.
+"""Headline benchmark: spin-flips/sec/chip on spin-glass annealing.
 
-Runs the fused Pallas parallel-tempering-style sweep workload (dense SK
-coupling matrix, replica batch, kernel RNG) as one long jitted scan, and
-reports throughput as ONE JSON line:
+Default (dense): the fused Pallas parallel-tempering-style sweep workload
+(dense SK coupling matrix, replica batch, kernel RNG) as one long jitted
+scan. ``--sparse``: the sorted sliced-ELL sweep on the 10k-spin
+avg-degree-6 instance (the reference's "10k+ variables" headline scale,
+reference README.md:13) with the replica*chain batch sized to fill the chip.
+``--pt10k``: wall-clock of a full 16-replica 10k-spin parallel-tempering run
+(the BASELINE.md sub-second north star).
 
-    {"metric": "spin_flips_per_sec_per_chip", "value": ..., "unit": "flips/s",
-     "vs_baseline": ...}
+Prints ONE JSON line:
+
+    {"metric": "...", "value": ..., "unit": "...", "vs_baseline": ...,
+     "extras": {...}}
 
 Baseline: the reference has no published throughput numbers (BASELINE.md).
 Its CPU sweep path does O(N) torch ops + .item() syncs per spin
@@ -13,9 +19,11 @@ Its CPU sweep path does O(N) torch ops + .item() syncs per spin
 validation_results.json: 10 spins, ~1k sweeps, 0.053 s) put it near
 2e5 flips/s, and its (unreachable; SURVEY §2.1) CUDA kernel claim was
 "sub-second for 10k+ variables". We use BASELINE_FLIPS = 1e6 flips/s — a
-generous CPU-reference figure — so vs_baseline is the speedup multiple.
+generous assumed-CPU-reference figure — so vs_baseline is the speedup
+multiple VS THAT ASSUMED CPU BASELINE (label it as such when quoting).
 """
 
+import argparse
 import json
 import time
 
@@ -28,8 +36,28 @@ N_REPLICAS = 1024
 N_SWEEPS = 2000
 SEED = 42
 
+SPARSE_N = 10_000
+SPARSE_DEG = 6.0
+SPARSE_REPLICAS = 1024   # 64 chains x 16-replica ladders in PT terms
+SPARSE_SWEEPS = 400
 
-def main():
+
+def _time_best(run, *args, trials=3):
+    import jax
+
+    out = run(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for trial in range(trials):
+        t0 = time.perf_counter()
+        out = run(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_dense():
+    """Dense fused-Pallas sweep throughput (flips/s/chip)."""
     import jax
     import jax.numpy as jnp
 
@@ -63,23 +91,130 @@ def main():
                                    jax.random.split(key, sweeps))
         return s, cnt
 
-    out = run(spins, jax.random.key(1))
-    jax.block_until_ready(out)
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        out = run(spins, jax.random.key(2 + trial))
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-
+    best = _time_best(run, spins, jax.random.key(1))
     flips = sweeps * r * n
-    flips_per_sec = flips / best
-    print(json.dumps({
+    fps = flips / best
+    # MFU-style accounting: each sweep's local fields cost 2*N^2*R flops on
+    # the MXU (f32-effective), so perf regressions are attributable
+    tflops = 2.0 * n * n * r * sweeps / best / 1e12
+    return {
         "metric": "spin_flips_per_sec_per_chip",
-        "value": flips_per_sec,
+        "value": fps,
         "unit": "flips/s",
-        "vs_baseline": flips_per_sec / BASELINE_FLIPS,
-    }))
+        "vs_baseline": fps / BASELINE_FLIPS,
+        "extras": {"n_spins": n, "n_replicas": r, "n_sweeps": sweeps,
+                   "seconds": best, "effective_tflops_f32": tflops,
+                   "baseline": "assumed 1e6 flips/s CPU reference"},
+    }
+
+
+def bench_sparse():
+    """Sorted sliced-ELL sweep throughput on 10k spins, avg degree 6."""
+    import jax
+    import jax.numpy as jnp
+
+    from spinglass_tpu.anneal.engines import make_engine
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import random_spins
+    from spinglass_tpu.kernels.sparse import EllProblem
+
+    n, r = SPARSE_N, SPARSE_REPLICAS
+    if jax.default_backend() != "tpu":
+        n, r, sweeps = 1000, 16, 10
+    else:
+        sweeps = SPARSE_SWEEPS
+
+    coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
+                                           dist="gaussian", seed=SEED)
+    ell = EllProblem.from_coo(n, *coo)
+    engine = make_engine(ell)
+    key = jax.random.key(SEED)
+    spins = engine.to_layout(
+        random_spins(key, (r, ell.n_padded), ell.active_mask))
+    beta = jnp.float32(1.0)
+
+    @jax.jit
+    def run(s, key):
+        def body(carry, k):
+            s, _ = carry
+            s, de, cnt = engine.sweep(s, beta, k)
+            return (s, cnt), None
+        (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
+                                   jax.random.split(key, sweeps))
+        return s, cnt
+
+    best = _time_best(run, spins, jax.random.key(1))
+    flips = sweeps * r * n
+    fps = flips / best
+    return {
+        "metric": "sparse_spin_flips_per_sec_per_chip",
+        "value": fps,
+        "unit": "flips/s",
+        "vs_baseline": fps / BASELINE_FLIPS,
+        "extras": {"n_spins": n, "avg_degree": SPARSE_DEG, "n_replicas": r,
+                   "n_sweeps": sweeps, "seconds": best,
+                   "engine": engine.name,
+                   "baseline": "assumed 1e6 flips/s CPU reference"},
+    }
+
+
+def bench_pt10k():
+    """Wall-clock of a full 10k-spin 16-replica PT run (sub-second target,
+    BASELINE.md north star / reference README.md:13)."""
+    import jax
+
+    from spinglass_tpu.anneal import pt as pt_mod
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.kernels.sparse import EllProblem
+
+    n = SPARSE_N if jax.default_backend() == "tpu" else 1000
+    sweeps = 1000 if jax.default_backend() == "tpu" else 50
+    coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
+                                           dist="gaussian", seed=SEED)
+    ell = EllProblem.from_coo(n, *coo)
+    cfg = pt_mod.PTConfig(n_replicas=16, n_sweeps=sweeps, seed=SEED)
+    res = pt_mod.run(ell, cfg)             # compile
+    res = pt_mod.run(ell, cfg)             # timed (cached executable)
+    return {
+        "metric": "pt_10k_wall_seconds",
+        "value": res.total_time,
+        "unit": "s",
+        "vs_baseline": 1.0 / max(res.total_time, 1e-9),  # vs 1 s target
+        "extras": {"n_spins": n, "n_replicas": 16, "n_sweeps": sweeps,
+                   "best_energy": res.best_energy,
+                   "flips_per_sec": res.spin_flips_per_second,
+                   "baseline": "reference 'sub-second 10k+' claim = 1 s"},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sparse", action="store_true",
+                    help="sparse ELL throughput instead of dense")
+    ap.add_argument("--pt10k", action="store_true",
+                    help="full 10k-spin PT wall-clock")
+    ap.add_argument("--all", action="store_true",
+                    help="run all benches; print dense as the headline "
+                         "line with the others in extras")
+    args = ap.parse_args()
+
+    if args.sparse:
+        print(json.dumps(bench_sparse()))
+    elif args.pt10k:
+        print(json.dumps(bench_pt10k()))
+    elif args.all:
+        dense = bench_dense()
+        sparse = bench_sparse()
+        pt = bench_pt10k()
+        dense["extras"]["sparse"] = {k: sparse[k] for k in
+                                     ("metric", "value", "unit")}
+        dense["extras"]["sparse"].update(sparse["extras"])
+        dense["extras"]["pt10k"] = {k: pt[k] for k in
+                                    ("metric", "value", "unit")}
+        dense["extras"]["pt10k"].update(pt["extras"])
+        print(json.dumps(dense))
+    else:
+        print(json.dumps(bench_dense()))
 
 
 if __name__ == "__main__":
