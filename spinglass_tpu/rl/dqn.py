@@ -215,8 +215,12 @@ def heuristic_action(obs: jax.Array) -> jax.Array:
 
 
 def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
-             cfg: Optional[DQNConfig] = None):
+             cfg: Optional[DQNConfig] = None, engine="auto"):
+    """``engine``: "auto" builds the fast sweep engine (env.default_engine);
+    None keeps the blocked XLA fallback; or pass a SweepEngine."""
     cfg = cfg or DQNConfig()
+    if engine == "auto":
+        engine = env_mod.default_engine(problem, env_cfg)
     model = QNetwork(n_actions=env_mod.N_ACTIONS,
                      hidden_sizes=cfg.hidden_sizes)
     tx = optax.adam(cfg.lr)
@@ -224,7 +228,7 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
     def init_fn(key: Optional[jax.Array] = None) -> DQNState:
         key = key if key is not None else jax.random.key(cfg.seed)
         key, k_env, k_par = jax.random.split(key, 3)
-        env_state, obs = env_mod.reset(problem, env_cfg, k_env)
+        env_state, obs = env_mod.reset(problem, env_cfg, k_env, engine)
         params = model.init(k_par, obs)
         buf_cls = (PrioritizedReplayBuffer if cfg.prioritized_replay
                    else ReplayBuffer)
@@ -259,11 +263,11 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
         action = jnp.where(use_heur, heur, rl_action)
 
         env_state, next_obs, reward, done = env_mod.step(
-            problem, env_cfg, state.env_state, action, k_env)
+            problem, env_cfg, state.env_state, action, k_env, engine)
         buffer = state.buffer.push_batch(state.obs, action, reward,
                                          next_obs, done)
         env_state, next_obs_reset = env_mod.auto_reset(
-            problem, env_cfg, env_state, k_reset)
+            problem, env_cfg, env_state, k_reset, engine)
 
         # adapt the hybrid weight from per-choice reward EMAs
         # (hybrid_agent.py:381-406, per-step instead of per-episode)

@@ -1,14 +1,24 @@
 """Vectorized annealer-as-environment.
 
 Rebuilds the reference's SpinGlassEnv (rl_integration/environment.py:51-537) —
-a single-problem Gymnasium loop whose每 step runs the whole GPUAnnealer — as a
-pure-functional *batched* environment: B annealing trajectories step in
+a single-problem Gymnasium loop whose every step runs the whole GPUAnnealer —
+as a pure-functional *batched* environment: B annealing trajectories step in
 lockstep under jit (the formulation SURVEY §7 step 6 calls for). The RL agent
 controls the temperature schedule; the environment IS the annealer.
 
 Everything is a pure function of (problem, EnvState, action, key), with the
 problem passed as a pytree *argument* so new random instances do not trigger
 recompilation (unlike engine closures).
+
+Engine plumbing: ``reset``/``step``/``auto_reset`` accept an optional
+``engine`` (anneal.engines.SweepEngine) built host-side via ``make_engine``.
+With an engine the hot path runs the fused Pallas kernel on TPU or the
+sorted sliced-ELL sweep for sparse ``EllProblem``s (so RL over 10k+-spin
+sparse instances works); without one it falls back to the dense blocked XLA
+sweep. The learners (rl/ppo.py, rl/dqn.py) build an engine automatically.
+EnvState.spins stays in [B, Np] layout; layout conversion happens once per
+env step around the sweeps_per_step scan (2 transposes per 10 sweeps for
+the "nr"-layout Pallas engine — negligible).
 
 Observation (obs_mode="global", default): 16 global features per env,
 mirroring environment.py:400-440's global feature vector:
@@ -74,16 +84,25 @@ class EnvState:
     acc_rate: jax.Array       # [B]
     step: jax.Array           # [B] i32
     plateau: jax.Array        # [B] i32 — steps since last improvement
+    episode: jax.Array        # [B] i32 — completed episodes (curriculum)
     reward_state: reward_mod.RewardState
     done: jax.Array           # [B] bool
 
 
-def reset(problem: IsingProblem, cfg: EnvConfig, key: jax.Array
-          ) -> Tuple[EnvState, jax.Array]:
+def _env_energy(problem, spins, engine=None):
+    """Exact batched energies in [B, Np] layout, via the engine when given
+    (required for EllProblem, where no dense J exists)."""
+    if engine is not None:
+        return engine.energy(engine.to_layout(spins))
+    return energy_ops.energy(problem, spins)
+
+
+def reset(problem: IsingProblem, cfg: EnvConfig, key: jax.Array,
+          engine=None) -> Tuple[EnvState, jax.Array]:
     """Fresh trajectories: random spins, initial temperature."""
     b = cfg.n_envs
     spins = random_spins(key, (b, problem.n_padded), problem.active_mask)
-    e = energy_ops.energy(problem, spins)
+    e = _env_energy(problem, spins, engine)
     state = EnvState(
         spins=spins,
         energy=e,
@@ -94,60 +113,82 @@ def reset(problem: IsingProblem, cfg: EnvConfig, key: jax.Array
         acc_rate=jnp.zeros((b,), jnp.float32),
         step=jnp.zeros((b,), jnp.int32),
         plateau=jnp.zeros((b,), jnp.int32),
+        episode=jnp.zeros((b,), jnp.int32),
         reward_state=reward_mod.init_state(cfg.reward, b),
         done=jnp.zeros((b,), bool),
     )
     return state, observe(problem, cfg, state)
 
 
-def _decode_action(cfg: EnvConfig, action: jax.Array
-                   ) -> Tuple[jax.Array, jax.Array]:
+def _decode_action(cfg: EnvConfig, action) -> Tuple[jax.Array, jax.Array]:
     """action -> (temp multiplier [B], sweep fraction [B])
-    (reference environment.py:276-316)."""
+    (reference environment.py:276-316).
+
+    hybrid (environment.py:88-113 dict action space): a dict with a discrete
+    ladder index ``temp_index`` [B] i32 and a continuous ``sweep_frac`` [B]."""
     if cfg.action_mode == "discrete":
         mult = TEMP_MULTIPLIERS[action]
         frac = jnp.ones_like(mult)
     elif cfg.action_mode == "continuous":
         mult = jnp.clip(action[..., 0], 0.5, 2.0)
         frac = jnp.clip(action[..., 1], 0.1, 1.0)
+    elif cfg.action_mode == "hybrid":
+        mult = TEMP_MULTIPLIERS[action["temp_index"]]
+        frac = jnp.clip(action["sweep_frac"], 0.1, 1.0)
     else:
         raise ValueError(cfg.action_mode)
     return mult, frac
 
 
 def step(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
-         action: jax.Array, key: jax.Array
+         action: jax.Array, key: jax.Array, engine=None
          ) -> Tuple[EnvState, jax.Array, jax.Array, jax.Array]:
     """One env step: apply temperature action, run sweeps_per_step Metropolis
     sweeps at constant T (reference environment.py:318-336), shape reward.
+
+    With ``engine`` (from anneal.engines.make_engine) the sweeps run through
+    the fused Pallas kernel / sparse ELL engine instead of the blocked XLA
+    fallback (reference capability environment.py:318-336 at TPU speed).
 
     Returns (state, obs [B, OBS_DIM], reward [B], done [B])."""
     mult, frac = _decode_action(cfg, action)
     temp = jnp.clip(state.temp * mult, cfg.min_temp, cfg.max_temp)
     beta = 1.0 / temp
 
+    # env axis position for the active-mask broadcast in the engine layout
+    env_axis_last = engine is not None and engine.layout == "nr"
+
     def one_sweep(carry, k):
         spins, energy, cnt_acc, n_done = carry
-        u = jax.random.uniform(k, spins.shape, jnp.float32)
         # sweep fraction gates each sweep: envs with frac budgets skip
         # trailing sweeps (constant shapes; skipped sweeps are identity)
         i = n_done
         active = (i < jnp.round(frac * cfg.sweeps_per_step)).astype(jnp.float32)
-        new_spins, de, cnt = sweep_kernels.blocked_sweep(
-            problem, spins, beta, u, block_size=cfg.block_size,
-            rule=cfg.update_rule)
-        spins = jnp.where(active[:, None] > 0, new_spins, spins)
+        if engine is not None:
+            new_spins, de, cnt = engine.sweep(spins, beta, k)
+        else:
+            u = jax.random.uniform(k, spins.shape, jnp.float32)
+            new_spins, de, cnt = sweep_kernels.blocked_sweep(
+                problem, spins, beta, u, block_size=cfg.block_size,
+                rule=cfg.update_rule)
+        act_b = active[None, :] if env_axis_last else active[:, None]
+        spins = jnp.where(act_b > 0, new_spins, spins)
         energy = energy + jnp.where(active > 0, de, 0.0)
         cnt_acc = cnt_acc + jnp.where(active > 0, cnt, 0)
         return (spins, energy, cnt_acc, n_done + 1), None
 
     keys = jax.random.split(key, cfg.sweeps_per_step)
-    init = (state.spins, state.energy,
+    spins0 = engine.to_layout(state.spins) if engine is not None else state.spins
+    init = (spins0, state.energy,
             jnp.zeros((cfg.n_envs,), jnp.int32),
             jnp.zeros((cfg.n_envs,), jnp.int32))
     (spins, energy, cnt, _), _ = lax.scan(one_sweep, init, keys)
-    # exact resync to kill drift (one matmul per env step)
-    energy = energy_ops.energy(problem, spins)
+    # exact resync to kill drift (one matmul / sparse pass per env step)
+    if engine is not None:
+        energy = engine.energy(spins)
+        spins = engine.from_layout(spins)
+    else:
+        energy = energy_ops.energy(problem, spins)
 
     n_sweeps_eff = jnp.maximum(jnp.round(frac * cfg.sweeps_per_step), 1.0)
     acc_rate = cnt.astype(jnp.float32) / (n_sweeps_eff * problem.n_spins)
@@ -165,7 +206,7 @@ def step(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
         energy=energy, prev_energy=state.energy, best_energy=best,
         initial_energy=state.initial_energy, acc_rate=acc_rate,
         temp=temp, step=new_state.step, max_steps=cfg.max_steps,
-        improved=improved)
+        improved=improved, mult=mult, episode=state.episode)
     new_state = new_state.replace(reward_state=rstate)
 
     done = (new_state.step >= cfg.max_steps) | (
@@ -204,10 +245,14 @@ def observe(problem: IsingProblem, cfg: EnvConfig, state: EnvState
 
 
 def auto_reset(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
-               key: jax.Array) -> Tuple[EnvState, jax.Array]:
+               key: jax.Array, engine=None) -> Tuple[EnvState, jax.Array]:
     """Reset only the done trajectories (standard vectorized-env pattern)."""
-    fresh, fresh_obs = reset(problem, cfg, key)
+    fresh, fresh_obs = reset(problem, cfg, key, engine)
     done = state.done
+    # the episode counter survives resets: it counts COMPLETED episodes
+    # (curriculum staging, reference reward_shaping.py:352 reset())
+    fresh = fresh.replace(
+        episode=state.episode + done.astype(jnp.int32))
 
     def pick(f, s):
         mask = done.reshape((-1,) + (1,) * (s.ndim - 1))
@@ -215,3 +260,13 @@ def auto_reset(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
 
     mixed = jax.tree.map(pick, fresh, state)
     return mixed, observe(problem, cfg, mixed)
+
+
+def default_engine(problem, cfg: EnvConfig):
+    """Host-side engine construction for the env hot path (VERDICT.md weak
+    #3: the env must not bypass make_engine): fused Pallas on TPU, sorted
+    sparse ELL for EllProblem, blocked XLA otherwise."""
+    from spinglass_tpu.anneal.engines import make_engine
+
+    return make_engine(problem, update_rule=cfg.update_rule,
+                       block_size=cfg.block_size)

@@ -6,7 +6,19 @@ is the DQN hybrid, kept in rl/dqn.py as the baseline variant). This is an
 on-device actor-learner: rollouts are a jitted lax.scan over the batched env,
 GAE + clipped-surrogate updates run in the same jit, and the whole train step
 is data-parallel shardable (params replicated, env batch sharded — see
-distributed/rl_sharded.py)."""
+distributed/rl_sharded.py).
+
+Action modes (matching reference environment.py:88-113):
+  discrete   — categorical over the temperature-multiplier ladder
+  continuous — diagonal-Gaussian head over [temp_mult, sweep_frac]
+               (reference's Box action space, environment.py:97-104)
+  hybrid     — categorical temp_index + Gaussian sweep_frac dict action
+               (reference's Dict space, environment.py:105-113)
+
+The env hot path runs through anneal.engines.make_engine (fused Pallas
+kernel on TPU, sorted sliced-ELL for sparse EllProblem) unless an explicit
+``engine`` is passed.
+"""
 
 from __future__ import annotations
 
@@ -27,6 +39,8 @@ from spinglass_tpu.core.problem import IsingProblem
 from spinglass_tpu.rl import env as env_mod
 from spinglass_tpu.rl.env import EnvConfig, EnvState
 
+_LOG2PI = float(np.log(2.0 * np.pi))
+
 
 @dataclass(frozen=True)
 class PPOConfig:
@@ -46,9 +60,14 @@ class PPOConfig:
 
 
 class ActorCritic(nn.Module):
-    """MLP trunk + categorical policy + value head."""
+    """MLP trunk + policy head(s) per action mode + value head.
 
-    n_actions: int
+    continuous: state-independent log_std parameters (standard PPO choice),
+    mean squashed to the env's valid ranges with a scaled tanh so clipping
+    in the env never hides probability mass."""
+
+    action_mode: str = "discrete"
+    n_actions: int = env_mod.N_ACTIONS
     hidden_sizes: Tuple[int, ...] = (128, 128)
 
     @nn.compact
@@ -56,9 +75,97 @@ class ActorCritic(nn.Module):
         x = obs
         for h in self.hidden_sizes:
             x = nn.tanh(nn.Dense(h)(x))
-        logits = nn.Dense(self.n_actions)(x)
         value = nn.Dense(1)(x)[..., 0]
-        return logits, value
+        if self.action_mode == "discrete":
+            logits = nn.Dense(self.n_actions)(x)
+            return {"logits": logits}, value
+        if self.action_mode == "continuous":
+            raw = nn.Dense(2)(x)
+            # temp_mult in [0.5, 2.0], sweep_frac in [0.1, 1.0]
+            mean = jnp.stack([
+                1.25 + 0.75 * jnp.tanh(raw[..., 0]),
+                0.55 + 0.45 * jnp.tanh(raw[..., 1]),
+            ], axis=-1)
+            log_std = self.param("log_std", nn.initializers.constant(-0.7),
+                                 (2,))
+            return {"mean": mean,
+                    "log_std": jnp.broadcast_to(log_std, mean.shape)}, value
+        if self.action_mode == "hybrid":
+            logits = nn.Dense(self.n_actions)(x)
+            raw = nn.Dense(1)(x)
+            mean = 0.55 + 0.45 * jnp.tanh(raw[..., 0])
+            log_std = self.param("log_std", nn.initializers.constant(-0.7),
+                                 (1,))
+            return {"logits": logits, "mean": mean,
+                    "log_std": jnp.broadcast_to(log_std, mean.shape)}, value
+        raise ValueError(self.action_mode)
+
+
+def _gauss_logp(mean, log_std, x):
+    var = jnp.exp(2.0 * log_std)
+    return jnp.sum(-0.5 * ((x - mean) ** 2 / var + 2.0 * log_std + _LOG2PI),
+                   axis=-1)
+
+
+def _gauss_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * (_LOG2PI + 1.0), axis=-1)
+
+
+def make_policy(action_mode: str):
+    """(sample, log_prob, entropy) triple for the mode; actions match what
+    env._decode_action expects."""
+    if action_mode == "discrete":
+        def sample(dist, key):
+            return jax.random.categorical(key, dist["logits"])
+
+        def log_prob(dist, action):
+            return jnp.take_along_axis(jax.nn.log_softmax(dist["logits"]),
+                                       action[..., None], axis=-1)[..., 0]
+
+        def entropy(dist):
+            logp = jax.nn.log_softmax(dist["logits"])
+            return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+        return sample, log_prob, entropy
+
+    if action_mode == "continuous":
+        def sample(dist, key):
+            eps = jax.random.normal(key, dist["mean"].shape)
+            return dist["mean"] + jnp.exp(dist["log_std"]) * eps
+
+        def log_prob(dist, action):
+            return _gauss_logp(dist["mean"], dist["log_std"], action)
+
+        def entropy(dist):
+            return _gauss_entropy(dist["log_std"])
+
+        return sample, log_prob, entropy
+
+    if action_mode == "hybrid":
+        def sample(dist, key):
+            k1, k2 = jax.random.split(key)
+            idx = jax.random.categorical(k1, dist["logits"])
+            eps = jax.random.normal(k2, dist["mean"].shape)
+            frac = dist["mean"] + jnp.exp(dist["log_std"]) * eps
+            return {"temp_index": idx, "sweep_frac": frac}
+
+        def log_prob(dist, action):
+            logp_d = jnp.take_along_axis(
+                jax.nn.log_softmax(dist["logits"]),
+                action["temp_index"][..., None], axis=-1)[..., 0]
+            logp_c = _gauss_logp(dist["mean"][..., None],
+                                 dist["log_std"][..., None],
+                                 action["sweep_frac"][..., None])
+            return logp_d + logp_c
+
+        def entropy(dist):
+            logp = jax.nn.log_softmax(dist["logits"])
+            return (-jnp.sum(jnp.exp(logp) * logp, axis=-1)
+                    + _gauss_entropy(dist["log_std"][..., None]))
+
+        return sample, log_prob, entropy
+
+    raise ValueError(action_mode)
 
 
 @struct.dataclass
@@ -72,19 +179,27 @@ class TrainState:
 
 
 def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
-             cfg: Optional[PPOConfig] = None):
+             cfg: Optional[PPOConfig] = None, engine="auto"):
     """Returns (init_fn, update_fn, model). update_fn is one fully-jitted
-    PPO iteration: rollout + GAE + clipped updates."""
+    PPO iteration: rollout + GAE + clipped updates.
+
+    ``engine``: "auto" builds the fast sweep engine host-side (Pallas on
+    TPU, sparse ELL for EllProblem); None forces the blocked XLA fallback;
+    or pass a SweepEngine."""
     cfg = cfg or PPOConfig()
-    model = ActorCritic(n_actions=env_mod.N_ACTIONS,
+    if engine == "auto":
+        engine = env_mod.default_engine(problem, env_cfg)
+    model = ActorCritic(action_mode=env_cfg.action_mode,
+                        n_actions=env_mod.N_ACTIONS,
                         hidden_sizes=cfg.hidden_sizes)
+    sample_a, log_prob, entropy_fn = make_policy(env_cfg.action_mode)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
 
     def init_fn(key: Optional[jax.Array] = None) -> TrainState:
         key = key if key is not None else jax.random.key(cfg.seed)
         key, k_env, k_par = jax.random.split(key, 3)
-        env_state, obs = env_mod.reset(problem, env_cfg, k_env)
+        env_state, obs = env_mod.reset(problem, env_cfg, k_env, engine)
         params = model.init(k_par, obs)
         return TrainState(params=params, opt_state=tx.init(params),
                           env_state=env_state, obs=obs, key=key,
@@ -94,14 +209,13 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
         def step_fn(carry, _):
             env_state, obs, key = carry
             key, k_act, k_env, k_reset = jax.random.split(key, 4)
-            logits, value = model.apply(state.params, obs)
-            action = jax.random.categorical(k_act, logits)
-            logp = jax.nn.log_softmax(logits)[
-                jnp.arange(env_cfg.n_envs), action]
+            dist, value = model.apply(state.params, obs)
+            action = sample_a(dist, k_act)
+            logp = log_prob(dist, action)
             env_state, next_obs, reward, done = env_mod.step(
-                problem, env_cfg, env_state, action, k_env)
+                problem, env_cfg, env_state, action, k_env, engine)
             env_state, next_obs = env_mod.auto_reset(
-                problem, env_cfg, env_state, k_reset)
+                problem, env_cfg, env_state, k_reset, engine)
             traj = dict(obs=obs, action=action, logp=logp, value=value,
                         reward=reward, done=done)
             return (env_state, next_obs, key), traj
@@ -129,10 +243,8 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
         return advs, returns
 
     def loss_fn(params, batch):
-        logits, value = model.apply(params, batch["obs"])
-        logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(
-            logp_all, batch["action"][..., None], axis=-1)[..., 0]
+        dist, value = model.apply(params, batch["obs"])
+        logp = log_prob(dist, batch["action"])
         ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -140,7 +252,7 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
         clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
         policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
         value_loss = jnp.mean((value - batch["ret"]) ** 2)
-        entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
+        entropy = jnp.mean(entropy_fn(dist))
         loss = (policy_loss + cfg.value_coef * value_loss
                 - cfg.entropy_coef * entropy)
         return loss, dict(policy_loss=policy_loss, value_loss=value_loss,
@@ -151,10 +263,14 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
         state, traj, last_value = rollout(state)
         advs, rets = gae(traj, last_value)
         t, b = advs.shape
+
+        def _flat(x):
+            return x.reshape((t * b,) + x.shape[2:])
+
         flat = dict(
-            obs=traj["obs"].reshape(t * b, -1),
-            action=traj["action"].reshape(t * b),
-            logp=traj["logp"].reshape(t * b),
+            obs=_flat(traj["obs"]),
+            action=jax.tree.map(_flat, traj["action"]),
+            logp=_flat(traj["logp"]),
             adv=advs.reshape(t * b),
             ret=rets.reshape(t * b),
         )
@@ -197,33 +313,41 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
 
 
 def train(problem: IsingProblem, env_cfg: Optional[EnvConfig] = None,
-          cfg: Optional[PPOConfig] = None, verbose: bool = False) -> dict:
-    """Full training loop; returns params + per-update metric history."""
+          cfg: Optional[PPOConfig] = None, verbose: bool = False,
+          engine="auto", resume_state: Optional[TrainState] = None) -> dict:
+    """Full training loop; returns params + per-update metric history.
+
+    ``resume_state``: continue from a prior TrainState (see
+    utils.checkpoint.save_pytree / load_pytree for persistence)."""
     env_cfg = env_cfg or EnvConfig()
     cfg = cfg or PPOConfig()
-    init_fn, update_fn, model = make_ppo(problem, env_cfg, cfg)
-    state = init_fn()
+    init_fn, update_fn, model = make_ppo(problem, env_cfg, cfg, engine)
+    state = resume_state if resume_state is not None else init_fn()
+    start = int(state.update)
     history = []
     t0 = time.perf_counter()
     t_warm = t0
-    for u in range(cfg.n_updates):
+    n_run = max(cfg.n_updates - start, 0)
+    for u in range(n_run):
         state, metrics = update_fn(state)
         history.append({k: float(v) for k, v in metrics.items()})
         if u == 0:
             t_warm = time.perf_counter()  # first update carries the compile
-        if verbose and (u % 10 == 0 or u == cfg.n_updates - 1):
-            print(f"update {u}: {history[-1]}")
+        if verbose and (u % 10 == 0 or u == n_run - 1):
+            print(f"update {start + u}: {history[-1]}")
     total = time.perf_counter() - t0
     steady = time.perf_counter() - t_warm
-    env_steps = cfg.n_updates * cfg.rollout_len * env_cfg.n_envs
-    steady_steps = max(cfg.n_updates - 1, 1) * cfg.rollout_len * env_cfg.n_envs
+    env_steps = n_run * cfg.rollout_len * env_cfg.n_envs
+    steady_steps = max(n_run - 1, 1) * cfg.rollout_len * env_cfg.n_envs
     return {
         "params": state.params,
+        "state": state,
         "history": history,
         # steady-state rate (first update's compile excluded)
         "env_steps_per_second": steady_steps / steady if steady > 0 else 0.0,
         "env_steps_per_second_incl_compile": env_steps / total
         if total > 0 else 0.0,
         "total_time": total,
-        "final_mean_best_energy": history[-1]["mean_best_energy"],
+        "final_mean_best_energy": history[-1]["mean_best_energy"]
+        if history else float("nan"),
     }

@@ -291,3 +291,214 @@ class TestPrioritizedReplay:
         assert np.isfinite(float(metrics["loss"]))
         # priorities were refreshed by the TD errors of sampled transitions
         assert float(jnp.max(state.buffer.priority)) > 0.0
+
+
+class TestContinuousHybridPPO:
+    """Continuous/hybrid policy heads (reference environment.py:88-113 Box/
+    Dict action spaces; VERDICT.md missing #3)."""
+
+    def test_continuous_ppo_trains(self):
+        p = _problem()
+        env_cfg = EnvConfig(n_envs=8, sweeps_per_step=2, max_steps=10,
+                            action_mode="continuous")
+        cfg = ppo_mod.PPOConfig(rollout_len=4, n_epochs=1, n_minibatches=2,
+                                n_updates=2, hidden_sizes=(32,))
+        init_fn, update_fn, model = ppo_mod.make_ppo(p, env_cfg, cfg)
+        state = init_fn()
+        p0 = jax.tree.leaves(state.params)[0]
+        state, m = update_fn(state)
+        state, m = update_fn(state)
+        assert np.isfinite(float(m["mean_reward"]))
+        assert np.isfinite(float(m["entropy"]))
+        p1 = jax.tree.leaves(state.params)[0]
+        assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+    def test_continuous_actions_in_range(self, key):
+        env_cfg = EnvConfig(n_envs=8, action_mode="continuous")
+        model = ppo_mod.ActorCritic(action_mode="continuous",
+                                    hidden_sizes=(16,))
+        obs = jnp.zeros((8, env_mod.OBS_DIM))
+        params = model.init(key, obs)
+        dist, value = model.apply(params, obs)
+        # means squashed into the env's valid box
+        assert float(dist["mean"][..., 0].min()) >= 0.5
+        assert float(dist["mean"][..., 0].max()) <= 2.0
+        assert float(dist["mean"][..., 1].min()) >= 0.1
+        assert float(dist["mean"][..., 1].max()) <= 1.0
+        assert value.shape == (8,)
+
+    def test_hybrid_ppo_trains(self):
+        p = _problem()
+        env_cfg = EnvConfig(n_envs=8, sweeps_per_step=2, max_steps=10,
+                            action_mode="hybrid")
+        cfg = ppo_mod.PPOConfig(rollout_len=4, n_epochs=1, n_minibatches=2,
+                                n_updates=2, hidden_sizes=(32,))
+        init_fn, update_fn, model = ppo_mod.make_ppo(p, env_cfg, cfg)
+        state = init_fn()
+        state, m = update_fn(state)
+        assert np.isfinite(float(m["mean_reward"]))
+
+    def test_policy_logprob_matches_sampling(self, key):
+        """log_prob(sample) is finite and self-consistent for every mode."""
+        for mode in ("discrete", "continuous", "hybrid"):
+            model = ppo_mod.ActorCritic(action_mode=mode, hidden_sizes=(16,))
+            obs = jax.random.normal(key, (6, env_mod.OBS_DIM))
+            params = model.init(key, obs)
+            dist, _ = model.apply(params, obs)
+            sample, log_prob, entropy = ppo_mod.make_policy(mode)
+            a = sample(dist, key)
+            lp = log_prob(dist, a)
+            assert lp.shape == (6,)
+            assert np.all(np.isfinite(np.asarray(lp)))
+            assert np.all(np.isfinite(np.asarray(entropy(dist))))
+
+
+class TestEngineEnv:
+    """Engine-plumbed env (VERDICT.md weak #3): the hot path goes through
+    make_engine; the blocked XLA engine reproduces the legacy path."""
+
+    def test_engine_env_matches_legacy_blocked(self, key):
+        from spinglass_tpu.anneal.engines import BlockedXLAEngine
+
+        p = _problem()
+        eng = BlockedXLAEngine(p, block_size=CFG.block_size)
+        k1, k2 = jax.random.split(key)
+        s_legacy, o_legacy = env_mod.reset(p, CFG, k1)
+        s_eng, o_eng = env_mod.reset(p, CFG, k1, eng)
+        np.testing.assert_allclose(np.asarray(o_legacy), np.asarray(o_eng),
+                                   rtol=1e-5, atol=1e-5)
+        action = jnp.full((CFG.n_envs,), 3)
+        s1, o1, r1, d1 = env_mod.step(p, CFG, s_legacy, action, k2)
+        s2, o2, r2, d2 = env_mod.step(p, CFG, s_eng, action, k2, eng)
+        np.testing.assert_array_equal(np.asarray(s1.spins),
+                                      np.asarray(s2.spins))
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_rl_over_sparse_ellproblem(self, key):
+        """PPO trains against a sparse EllProblem through the sorted sparse
+        engine (reference capability: RL over 10k+ instances; scaled down
+        for CPU CI)."""
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        coo = topology.sparse_random_graph_coo(200, avg_degree=5.0,
+                                               dist="gaussian", seed=11)
+        ell = EllProblem.from_coo(200, *coo)
+        env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8)
+        cfg = ppo_mod.PPOConfig(rollout_len=3, n_epochs=1, n_minibatches=2,
+                                n_updates=1, hidden_sizes=(16,))
+        init_fn, update_fn, model = ppo_mod.make_ppo(ell, env_cfg, cfg)
+        state = init_fn()
+        e0 = float(jnp.mean(state.env_state.energy))
+        state, m = update_fn(state)
+        assert np.isfinite(float(m["mean_reward"]))
+        # the annealer-env actually anneals the sparse problem
+        assert float(m["mean_best_energy"]) < e0
+
+
+class TestRewardComponents:
+    """New reward components (reference reward_shaping.py:123-186, 253-344;
+    VERDICT.md missing #2)."""
+
+    def _state(self, b=4):
+        return rew_mod.init_state(rew_mod.RewardConfig(), b)
+
+    def _compute(self, cfg, state, **over):
+        b = state.de_scale.shape[0]
+        kw = dict(energy=jnp.full((b,), -10.0),
+                  prev_energy=jnp.full((b,), -10.0),
+                  best_energy=jnp.full((b,), -10.0),
+                  initial_energy=jnp.full((b,), -5.0),
+                  acc_rate=jnp.full((b,), 0.44),
+                  temp=jnp.full((b,), 5.0),
+                  step=jnp.full((b,), 1, jnp.int32), max_steps=10,
+                  improved=jnp.zeros((b,), bool),
+                  mult=jnp.ones((b,)),
+                  episode=jnp.zeros((b,), jnp.int32))
+        kw.update(over)
+        return rew_mod.compute(cfg, state, **kw)
+
+    def test_rapid_temp_change_penalized(self):
+        cfg = rew_mod.RewardConfig(energy_weight=0.0, acceptance_weight=0.0,
+                                   exploration_weight=0.0,
+                                   convergence_weight=0.0,
+                                   efficiency_weight=0.0,
+                                   temperature_weight=1.0)
+        st = self._state()
+        # establish prev_temp = 5
+        _, st = self._compute(cfg, st, temp=jnp.full((4,), 5.0))
+        r_stable, _ = self._compute(cfg, st, temp=jnp.full((4,), 5.5))
+        r_rapid, _ = self._compute(cfg, st, temp=jnp.full((4,), 20.0))
+        assert float(r_rapid[0]) < float(r_stable[0])
+
+    def test_schedule_conformance_rewarded(self):
+        cfg = rew_mod.RewardConfig(energy_weight=0.0, acceptance_weight=0.0,
+                                   exploration_weight=0.0,
+                                   convergence_weight=0.0,
+                                   efficiency_weight=0.0,
+                                   temperature_weight=1.0)
+        st = self._state()
+        # at progress 0.1 the expected schedule temp is ~9; conforming beats
+        # far-off temps
+        _, st1 = self._compute(cfg, st, temp=jnp.full((4,), 9.0))
+        r_conform, _ = self._compute(cfg, st1, temp=jnp.full((4,), 9.0))
+        _, st2 = self._compute(cfg, st, temp=jnp.full((4,), 0.5))
+        r_off, _ = self._compute(cfg, st2, temp=jnp.full((4,), 0.5))
+        assert float(r_conform[0]) > float(r_off[0])
+
+    def test_novelty_bonus_once_per_signature(self):
+        cfg = rew_mod.RewardConfig(energy_weight=0.0, acceptance_weight=0.0,
+                                   temperature_weight=0.0,
+                                   convergence_weight=0.0,
+                                   efficiency_weight=0.0,
+                                   exploration_weight=1.0)
+        st = self._state()
+        r1, st = self._compute(cfg, st)
+        r2, st = self._compute(cfg, st)   # same signature again
+        assert float(r1[0]) > 0.5         # first visit: bonus ~ scale
+        assert float(r2[0]) < 1e-6        # repeat visit: no bonus
+        r3, st = self._compute(cfg, st, temp=jnp.full((4,), 0.2))
+        assert float(r3[0]) > 0.5         # new signature: bonus again
+
+    def test_curriculum_scales_with_episodes(self):
+        cfg = rew_mod.RewardConfig(acceptance_weight=0.0,
+                                   temperature_weight=0.0,
+                                   exploration_weight=0.0,
+                                   convergence_weight=0.0,
+                                   efficiency_weight=0.0,
+                                   curriculum=True, curriculum_stages=5,
+                                   difficulty_ramp=1.0)
+        st = self._state()
+        good = dict(energy=jnp.full((4,), -11.0),
+                    prev_energy=jnp.full((4,), -10.0))
+        r_ep0, _ = self._compute(cfg, st, episode=jnp.zeros((4,), jnp.int32),
+                                 **good)
+        r_ep999, _ = self._compute(
+            cfg, st, episode=jnp.full((4,), 999, jnp.int32), **good)
+        assert float(r_ep999[0]) > float(r_ep0[0]) * 1.5
+
+    def test_hybrid_action_decoding(self, key):
+        p = _problem()
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8,
+                        action_mode="hybrid")
+        state, obs = env_mod.reset(p, cfg, key)
+        action = {"temp_index": jnp.full((4,), 9, jnp.int32),
+                  "sweep_frac": jnp.full((4,), 0.5)}
+        s2, o2, r, d = env_mod.step(p, cfg, state, action, key)
+        # multiplier 2.0 applied
+        np.testing.assert_allclose(np.asarray(s2.temp),
+                                   np.asarray(state.temp) * 2.0, rtol=1e-6)
+
+    def test_episode_counter_increments_on_done(self, key):
+        p = _problem()
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=1, max_steps=2)
+        state, _ = env_mod.reset(p, cfg, key)
+        for i in range(2):
+            state, _, _, done = env_mod.step(
+                p, cfg, state, jnp.full((4,), 5), jax.random.fold_in(key, i))
+        assert bool(jnp.all(state.done))
+        state, _ = env_mod.auto_reset(p, cfg, state, key)
+        np.testing.assert_array_equal(np.asarray(state.episode),
+                                      np.ones(4, np.int32))
+        np.testing.assert_array_equal(np.asarray(state.step),
+                                      np.zeros(4, np.int32))
