@@ -19,6 +19,7 @@ Replaces the reference's thread-based ParallelTempering
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field as dfield
 from functools import partial
@@ -51,6 +52,12 @@ class PTConfig:
     max_temp: float = 10.0
     ladder: str = "geometric"          # geometric | linear | exponential
     exchange_interval: int = 10
+    exchange_method: str = "nearest_neighbor"  # | "all_pairs" (random
+    # non-adjacent pairings each pass — the vectorized equivalent of the
+    # reference's all-pairs sweep, parallel_tempering.py:222-232)
+    cluster_moves: int = 0             # Swendsen-Wang sweeps mixed in per
+    # super-step (reference spin_dynamics.py:193-323 cluster capability;
+    # helps decorrelation near criticality)
     update_rule: str = "metropolis"
     sweep_method: str = "auto"
     block_size: int = 128
@@ -126,34 +133,100 @@ def init_state(problem: IsingProblem, cfg: PTConfig,
 
 
 def exchange_step(state: PTState, betas_ladder: jax.Array, parity: jax.Array,
-                  key: jax.Array) -> PTState:
+                  key: jax.Array, n_chains: int = 1) -> PTState:
     """One even/odd nearest-neighbor exchange pass, fully vectorized.
 
     Works on ladder-sorted views: inv[k] = replica currently holding slot k.
     Acceptance p = min(1, exp((beta_k - beta_{k+1})(E_k - E_{k+1}))).
-    """
-    r = state.slot.shape[0]
-    inv = jnp.argsort(state.slot)                   # [R] replica at slot k
-    e_sorted = state.energy[inv]                    # [R]
-    k_idx = jnp.arange(r - 1)
-    delta_beta = betas_ladder[:-1] - betas_ladder[1:]
-    delta_e = e_sorted[:-1] - e_sorted[1:]
-    log_p = delta_beta * delta_e
-    u = jax.random.uniform(key, (r - 1,))
-    eligible = (k_idx % 2) == parity
+
+    With ``n_chains`` > 1 the replica axis holds C independent PT chains
+    (replicas [c*R:(c+1)*R] form chain c, all sharing one ladder); exchanges
+    happen within each chain with independent uniforms, and the per-pair
+    exchange counters aggregate over chains."""
+    nr = betas_ladder.shape[0]
+    c = n_chains
+    slot_c = state.slot.reshape(c, nr)              # [C, R]
+    e_c = state.energy.reshape(c, nr)
+    inv = jnp.argsort(slot_c, axis=1)               # [C, R] replica at slot k
+    e_sorted = jnp.take_along_axis(e_c, inv, axis=1)
+    k_idx = jnp.arange(nr - 1)
+    delta_beta = (betas_ladder[:-1] - betas_ladder[1:])[None, :]
+    delta_e = e_sorted[:, :-1] - e_sorted[:, 1:]
+    log_p = delta_beta * delta_e                    # [C, R-1]
+    u = jax.random.uniform(key, (c, nr - 1))
+    eligible = ((k_idx % 2) == parity)[None, :]
     accept = eligible & (jnp.log(jnp.maximum(u, 1e-38)) < log_p)
 
     # Build slot permutation: slot k moves to k+1 if pair (k,k+1) accepted, etc.
-    accept_pad = jnp.concatenate([accept, jnp.zeros((1,), bool)])      # [R]
-    accept_prev = jnp.concatenate([jnp.zeros((1,), bool), accept])     # [R]
-    pos = jnp.arange(r)
-    new_pos = jnp.where(accept_pad, pos + 1, jnp.where(accept_prev, pos - 1, pos))
-    slot = state.slot.at[inv].set(new_pos.astype(jnp.int32))
+    zpad = jnp.zeros((c, 1), bool)
+    accept_pad = jnp.concatenate([accept, zpad], axis=1)       # [C, R]
+    accept_prev = jnp.concatenate([zpad, accept], axis=1)      # [C, R]
+    pos = jnp.arange(nr)[None, :]
+    new_pos = jnp.where(accept_pad, pos + 1,
+                        jnp.where(accept_prev, pos - 1, pos))
+    slot_c = jnp.zeros_like(slot_c).at[
+        jnp.arange(c)[:, None], inv].set(new_pos.astype(jnp.int32))
 
     return state.replace(
-        slot=slot,
-        exch_attempts=state.exch_attempts + eligible.astype(jnp.int32),
-        exch_accepts=state.exch_accepts + accept.astype(jnp.int32),
+        slot=slot_c.reshape(-1),
+        exch_attempts=state.exch_attempts
+        + jnp.sum(jnp.broadcast_to(eligible, accept.shape), axis=0,
+                  dtype=jnp.int32),
+        exch_accepts=state.exch_accepts + jnp.sum(accept, axis=0,
+                                                  dtype=jnp.int32),
+    )
+
+
+def exchange_step_all_pairs(state: PTState, betas_ladder: jax.Array,
+                            key: jax.Array, n_chains: int = 1) -> PTState:
+    """Random-matching exchange pass: every pass draws a random perfect
+    matching over the ladder slots (any distance), and all matched pairs
+    attempt simultaneously — the vectorized, conflict-free equivalent of the
+    reference's sequential all-pairs loop (parallel_tempering.py:222-232,
+    which attempts each of the R(R-1)/2 pairs with probability 0.1).
+
+    Statistics are keyed by the lower slot of each attempted pair, matching
+    the reference's ``pair_idx = min(i, j)`` convention (:249)."""
+    nr = betas_ladder.shape[0]
+    c = n_chains
+    k_perm, k_u = jax.random.split(key)
+    slot_c = state.slot.reshape(c, nr)
+    e_c = state.energy.reshape(c, nr)
+    inv = jnp.argsort(slot_c, axis=1)                  # [C, R] replica at slot
+    e_sorted = jnp.take_along_axis(e_c, inv, axis=1)
+
+    # one random matching shared across chains (independent uniforms below)
+    perm = jax.random.permutation(k_perm, nr)
+    a_slots = perm[: nr // 2]                          # [P]
+    b_slots = perm[nr // 2: 2 * (nr // 2)]
+    lo = jnp.minimum(a_slots, b_slots)
+    delta_beta = betas_ladder[a_slots] - betas_ladder[b_slots]
+    delta_e = (jnp.take_along_axis(e_sorted, a_slots[None, :]
+                                   .repeat(c, 0), axis=1)
+               - jnp.take_along_axis(e_sorted, b_slots[None, :]
+                                     .repeat(c, 0), axis=1))
+    log_p = delta_beta[None, :] * delta_e              # [C, P]
+    u = jax.random.uniform(k_u, (c, nr // 2))
+    accept = jnp.log(jnp.maximum(u, 1e-38)) < log_p
+
+    # apply: replica holding a_slot gets b_slot where accepted (and v.v.)
+    rep_a = jnp.take_along_axis(inv, a_slots[None, :].repeat(c, 0), axis=1)
+    rep_b = jnp.take_along_axis(inv, b_slots[None, :].repeat(c, 0), axis=1)
+    new_a = jnp.where(accept, b_slots[None, :], a_slots[None, :])
+    new_b = jnp.where(accept, a_slots[None, :], b_slots[None, :])
+    chain_idx = jnp.arange(c)[:, None]
+    slot_c = slot_c.at[chain_idx, rep_a].set(new_a.astype(jnp.int32))
+    slot_c = slot_c.at[chain_idx, rep_b].set(new_b.astype(jnp.int32))
+
+    # per-lower-slot statistics (clip to the [R-1] counter length)
+    lo_idx = jnp.clip(lo, 0, nr - 2)
+    att = jnp.zeros((nr - 1,), jnp.int32).at[lo_idx].add(c)
+    acc = jnp.zeros((nr - 1,), jnp.int32).at[lo_idx].add(
+        jnp.sum(accept, axis=0).astype(jnp.int32))
+    return state.replace(
+        slot=slot_c.reshape(-1),
+        exch_attempts=state.exch_attempts + att,
+        exch_accepts=state.exch_accepts + acc,
     )
 
 
@@ -168,6 +241,11 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)
+    sw = None
+    if cfg.cluster_moves > 0:
+        from spinglass_tpu.core.cluster import SwendsenWang
+
+        sw = SwendsenWang(problem)
 
     def super_step(state: PTState, _, betas=betas_ladder):
         # `betas` may be passed at call time (a traced runtime value), so one
@@ -192,22 +270,52 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
             ), None
 
         state, _ = lax.scan(one_sweep, state, None, length=cfg.exchange_interval)
+        if sw is not None:
+            # cluster-move mix: Swendsen-Wang sweeps at each replica's
+            # current temperature (detailed balance preserved per replica)
+            s_rn = engine.from_layout(state.spins)
+            de_cl = jnp.zeros((s_rn.shape[0],), jnp.float32)
+            for _ in range(cfg.cluster_moves):
+                key, kc = jax.random.split(state.key)
+                state = state.replace(key=key)
+                s_rn, de_i, _ = sw.sweep(s_rn, betas[state.slot], kc)
+                de_cl = de_cl + de_i
+            new_spins = engine.to_layout(s_rn)
+            energy = state.energy + de_cl
+            improved = energy < state.best_energy
+            imp_b = (improved[None, :] if engine.layout == "nr"
+                     else improved[:, None])
+            state = state.replace(
+                spins=new_spins, energy=energy,
+                best_energy=jnp.where(improved, energy, state.best_energy),
+                best_spins=jnp.where(imp_b, new_spins, state.best_spins))
         key, kx = jax.random.split(state.key)
         state = state.replace(key=key)
-        parity = (state.sweep // cfg.exchange_interval) % 2
-        state = exchange_step(state, betas, parity, kx)
+        if cfg.exchange_method == "all_pairs":
+            state = exchange_step_all_pairs(state, betas, kx,
+                                            n_chains=cfg.n_chains)
+        else:
+            parity = (state.sweep // cfg.exchange_interval) % 2
+            state = exchange_step(state, betas, parity, kx,
+                                  n_chains=cfg.n_chains)
         # resync exact energies once per super-step (f32 drift hygiene)
         state = state.replace(
             energy=_energy_in_layout(problem, engine, state.spins))
-        inv_slot = jnp.argsort(state.slot)
+        e_c = state.energy.reshape(cfg.n_chains, cfg.n_replicas)
+        inv_c = jnp.argsort(state.slot.reshape(cfg.n_chains,
+                                               cfg.n_replicas), axis=1)
+        e_by_slot = jnp.take_along_axis(e_c, inv_c, axis=1)  # [C, R]
         stats = {
             "best_energy": jnp.min(state.best_energy),
-            "cold_energy": state.energy[jnp.argmin(state.slot)],
+            "cold_energy": jnp.mean(e_by_slot[:, 0]),
             "mean_acceptance": jnp.mean(state.acc_rate),
-            # per-SLOT energies (cold→hot) each super-step; time-averaged by
-            # run() for feedback ladder tuning (single-sample estimates are
-            # far too noisy to respace on)
-            "slot_energy": state.energy[inv_slot],
+            # per-SLOT energies (cold→hot, chain-averaged) each super-step;
+            # time-averaged by run() for feedback ladder tuning (single-
+            # sample estimates are far too noisy to respace on)
+            "slot_energy": jnp.mean(e_by_slot, axis=0),
+            # which ladder slot each replica holds — the replica-trajectory
+            # record (reference parallel_tempering.py:323-410 plots these)
+            "slot_of_replica": state.slot,
         }
         return state, stats
 
@@ -216,12 +324,29 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
 
 def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
         key: Optional[jax.Array] = None,
-        ladder_override: Optional[np.ndarray] = None) -> AnnealResult:
+        ladder_override: Optional[np.ndarray] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
+        resume: bool = False) -> AnnealResult:
     """Full PT run (reference parallel_tempering.py:82-143).
     ``ladder_override``: explicit temperature ladder (e.g. from
-    tune_ladder) instead of the config's geometric/linear spacing."""
+    tune_ladder) instead of the config's geometric/linear spacing.
+
+    Checkpoint/resume (VERDICT.md missing #4, reference
+    batch_processor.py:521-531): with ``checkpoint_dir`` the run executes in
+    segments of ``checkpoint_every`` super-steps, saving (PTState, history)
+    after each segment; ``resume=True`` restores the latest checkpoint and
+    continues. All RNG state lives in PTState.key, so a killed-and-resumed
+    run reproduces the uninterrupted run exactly under a fixed seed. Without
+    ``checkpoint_dir`` the whole run stays ONE device dispatch (fast path)."""
     cfg = cfg or PTConfig()
     n_super = max(1, cfg.n_sweeps // cfg.exchange_interval)
+    if checkpoint_dir is not None or resume:
+        if checkpoint_dir is None:
+            raise ValueError("resume=True requires checkpoint_dir")
+        return _run_segmented(problem, cfg, key, ladder_override,
+                              checkpoint_dir, checkpoint_every, resume,
+                              n_super)
 
     def _build():
         super_step, _, engine = make_pt_step(problem, cfg)
@@ -266,12 +391,16 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
     t0 = time.perf_counter()
     out = jax.device_get(run_all(key, betas_ladder))   # one dispatch, one read
     total = time.perf_counter() - t0
+    return _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
 
+
+def _assemble_result(problem, cfg: PTConfig, out: dict, betas_ladder,
+                     n_super: int, total: float) -> AnnealResult:
     hist = out["hist"]
     sweeps_done = n_super * cfg.exchange_interval
     attempts = np.maximum(out["exch_attempts"], 1)
     exchange_rates = out["exch_accepts"] / attempts
-    flips = sweeps_done * cfg.n_replicas * problem.n_spins
+    flips = sweeps_done * cfg.n_replicas * cfg.n_chains * problem.n_spins
     return AnnealResult(
         best_spins=out["best_spins"][: problem.n_spins],
         best_energy=float(out["best_energy"]),
@@ -297,8 +426,92 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
             # of the run (equilibrated) — the tune_ladder input
             "slot_energy": hist["slot_energy"][n_super // 2:].mean(
                 axis=0).tolist(),
+            # per-super-step replica→slot record [n_super, R_total]
+            # (reference parallel_tempering.py:323-410 trajectories)
+            "slot_trajectory": np.asarray(hist["slot_of_replica"]),
+            "exchange_method": cfg.exchange_method,
         },
     )
+
+
+def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
+                   checkpoint_dir: str, checkpoint_every: int, resume: bool,
+                   n_super: int) -> AnnealResult:
+    """Checkpointed PT: jitted segments of ``checkpoint_every`` super-steps
+    with a (PTState, stacked history) save after each. RNG is carried in
+    PTState.key, so segmentation does not change the sweep/exchange stream —
+    bitwise-identical to the single-dispatch path under a fixed seed."""
+    from spinglass_tpu.utils.checkpoint import CheckpointManager
+
+    def _build():
+        super_step, _, engine = make_pt_step(problem, cfg)
+
+        @jax.jit
+        def init_jit(key, betas):
+            return init_state(problem, cfg, key, engine)
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def segment(state, betas, n_steps):
+            def step(st, x):
+                return super_step(st, x, betas=betas)
+
+            return lax.scan(step, state, None, length=n_steps)
+
+        return (engine, init_jit, segment)
+
+    from spinglass_tpu.anneal.jit_cache import pt_cache
+
+    engine, init_jit, segment = pt_cache().get_or_build(
+        problem, ("seg", cfg), _build)
+    temps = (np.asarray(ladder_override, np.float32)
+             if ladder_override is not None else temperature_ladder(cfg))
+    betas_ladder = jnp.asarray(1.0 / temps)
+    if key is None:
+        key = jax.random.key(cfg.seed)
+
+    state = init_jit(key, betas_ladder)
+    hists: list = []
+    done_super = 0
+    mgr = CheckpointManager(checkpoint_dir, every=1, use_orbax=False)
+    if resume:
+        template = {"state": state, "done_super": np.int64(0)}
+        restored = mgr.restore_latest(template)
+        if restored is not None:
+            state = restored["state"]
+            done_super = int(restored["done_super"])
+            # reload the already-recorded history segments
+            hp = os.path.join(checkpoint_dir, "history.npz")
+            if os.path.exists(hp):
+                with np.load(hp) as z:
+                    hists = [{k: z[k] for k in z.files}]
+
+    t0 = time.perf_counter()
+    while done_super < n_super:
+        n_steps = min(checkpoint_every, n_super - done_super)
+        state, hist = segment(state, betas_ladder, n_steps=n_steps)
+        hists.append(jax.device_get(hist))
+        done_super += n_steps
+        merged = {k: np.concatenate([h[k] for h in hists])
+                  for k in hists[0]}
+        hists = [merged]
+        np.savez_compressed(os.path.join(checkpoint_dir, "history.npz"),
+                            **merged)
+        mgr.maybe_save(done_super, {"state": jax.device_get(state),
+                                    "done_super": np.int64(done_super)})
+    total = time.perf_counter() - t0
+
+    hist = hists[0]
+    best_r = int(jnp.argmin(state.best_energy))
+    best_spins = np.asarray(engine.from_layout(state.best_spins))[best_r]
+    out = {
+        "best_spins": best_spins,
+        "best_energy": float(jnp.min(state.best_energy)),
+        "replica_best": np.asarray(state.best_energy),
+        "exch_attempts": np.asarray(state.exch_attempts),
+        "exch_accepts": np.asarray(state.exch_accepts),
+        "hist": hist,
+    }
+    return _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
 
 
 def tune_ladder(problem: IsingProblem, cfg: PTConfig,

@@ -83,6 +83,71 @@ def wolff_sweep(problem: IsingProblem, spins: jax.Array, beta: jax.Array,
     return spins, e1 - e0, total
 
 
+@functools.partial(jax.jit, static_argnames=())
+def wolff_update_ell(ell, spins: jax.Array, beta: jax.Array,
+                     key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Sparse Wolff: one cluster flip per replica over ELL neighbor lists
+    (reference spin_dynamics.py:259-323 sparse Wolff; VERDICT.md weak #6 —
+    no [R, N, N] materialization, so cluster moves work at 10k+ spins).
+
+    Frontier contraction per BFS step is a gather-reduce over each spin's
+    K-neighbor list:
+        bond_sum[r, j] = sum_k max(val[j,k] * s_j * s_i, 0) * frontier[i],
+        i = idx[j, k]
+    O(R * N * K) per step instead of the dense O(R * N^2).
+
+    spins [R, Np]; returns (spins, cluster_size [R])."""
+    import jax.numpy as jnp
+
+    r, n_pad = spins.shape
+    beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+    k_seed, k_loop = jax.random.split(key)
+    active = ell.active_mask > 0
+    val32 = ell.val.astype(jnp.float32)
+
+    seed = jax.random.randint(k_seed, (r,), 0, ell.n_spins)
+    cluster = jnp.zeros((r, n_pad), bool).at[jnp.arange(r), seed].set(True)
+    frontier = cluster
+
+    def cond(carry):
+        _, frontier, _, it = carry
+        return (it < n_pad) & jnp.any(frontier)
+
+    def body(carry):
+        cluster, frontier, key, it = carry
+        key, ku = jax.random.split(key)
+        # gather frontier-masked neighbor spins: [R, Np, K]
+        f_spins = jnp.where(frontier, spins, 0.0)
+        nb = f_spins[:, ell.idx]                                 # [R, Np, K]
+        jss = val32[None] * spins[:, :, None] * nb               # J_ij s_j s_i
+        bond_sum = jnp.sum(jnp.maximum(jss, 0.0), axis=-1)       # [R, Np]
+        p_join = -jnp.expm1(-2.0 * beta[:, None] * bond_sum)
+        u = jax.random.uniform(ku, (r, n_pad))
+        newly = (u < p_join) & ~cluster & active[None, :]
+        return (cluster | newly, newly, key, it + 1)
+
+    cluster, _, _, _ = lax.while_loop(
+        cond, body, (cluster, frontier, k_loop, jnp.asarray(0)))
+    spins = jnp.where(cluster, -spins, spins)
+    return spins, jnp.sum(cluster, axis=-1).astype(jnp.int32)
+
+
+def wolff_sweep_ell(ell, spins: jax.Array, beta: jax.Array, key: jax.Array,
+                    n_clusters: int = 1
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """n_clusters sparse Wolff updates; returns (spins, dE[R], flipped[R])."""
+    from spinglass_tpu.kernels.sparse import sparse_energy
+
+    e0 = sparse_energy(ell, spins)
+    total = jnp.zeros((spins.shape[0],), jnp.int32)
+    for _ in range(n_clusters):
+        key, sub = jax.random.split(key)
+        spins, size = wolff_update_ell(ell, spins, beta, sub)
+        total = total + size
+    e1 = sparse_energy(ell, spins)
+    return spins, e1 - e0, total
+
+
 # ---------------------------------------------------------------------------
 # Swendsen-Wang — batched label propagation over ELL neighbor lists
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ class TrainingConfig:
     eval_interval: int = 20
     checkpoint_interval: int = 50
     checkpoint_dir: Optional[str] = None
+    resume: bool = False                  # restore latest full TrainState
     curriculum: bool = False
     curriculum_sizes: tuple = (32, 64, 128)
     problem_seed: int = 0
@@ -82,12 +83,18 @@ class RLTrainingPipeline:
                 state = init_fn(jax.random.key(self.cfg.seed + stage))
                 if params is not None:
                     state = state.replace(params=params)
-                for u in range(updates_per_stage):
+                u0 = 0
+                if self.cfg.resume and self.cfg.checkpoint_dir:
+                    restored = self._restore_full(stage, state)
+                    if restored is not None:
+                        state, u0 = restored
+                for u in range(u0, updates_per_stage):
                     state, m = update_fn(state)
                     env_steps += (self.ppo_cfg.rollout_len
                                   * self.env_cfg.n_envs)
                     self._record(stage, u, m, verbose)
-                    self._maybe_checkpoint(stage, u, state.params)
+                    self._maybe_checkpoint(stage, u, state.params,
+                                           full_state=state)
                 params = state.params
             elif self.cfg.agent == "dqn":
                 init_fn, step_fn, model = dqn_mod.make_dqn(
@@ -119,11 +126,31 @@ class RLTrainingPipeline:
         if verbose and update % self.cfg.eval_interval == 0:
             print(row)
 
-    def _maybe_checkpoint(self, stage, update, params):
+    def _maybe_checkpoint(self, stage, update, params, full_state=None):
         d = self.cfg.checkpoint_dir
         if d and (update + 1) % self.cfg.checkpoint_interval == 0:
             os.makedirs(d, exist_ok=True)
             dqn_mod.save_params(
                 params, os.path.join(d, f"params_s{stage}_u{update}.npz"))
+            if full_state is not None:
+                # full TrainState (params, optimizer, env, PRNG key) so a
+                # killed run resumes exactly (reference
+                # training_pipeline.py:437-507 save AND load)
+                from spinglass_tpu.utils.checkpoint import save_pytree
+
+                save_pytree({"state": full_state, "update": np.int64(update)},
+                            os.path.join(d, f"train_state_s{stage}.npz"))
             with open(os.path.join(d, "metrics.json"), "w") as f:
                 json.dump(self.metrics, f)
+
+    def _restore_full(self, stage, template_state):
+        """Latest full TrainState for this stage, or None."""
+        from spinglass_tpu.utils.checkpoint import load_pytree
+
+        path = os.path.join(self.cfg.checkpoint_dir,
+                            f"train_state_s{stage}.npz")
+        if not os.path.exists(path):
+            return None
+        restored = load_pytree({"state": template_state,
+                                "update": np.int64(0)}, path)
+        return restored["state"], int(restored["update"]) + 1

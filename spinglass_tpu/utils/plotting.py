@@ -134,3 +134,81 @@ def plot_pareto_front(archive, path: str = "pareto.png") -> str:
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def plot_replica_trajectories(result, path: str = "pt_trajectories.png",
+                              max_replicas: int = 16) -> str:
+    """Per-replica ladder-slot trajectories + exchange-rate bars + ladder —
+    the reference's plot_replica_trajectories
+    (parallel_tempering.py:323-410), driven by the ``slot_trajectory``
+    record in AnnealResult.metadata."""
+    import numpy as np
+
+    plt = _plt()
+    traj = np.asarray(result.metadata["slot_trajectory"])   # [T, R]
+    ladder = np.asarray(result.metadata.get("ladder", []))
+    rates = np.asarray(result.metadata.get("exchange_rates", []))
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+
+    ax = axes[0][0]
+    for r in range(min(traj.shape[1], max_replicas)):
+        ax.plot(traj[:, r], alpha=0.7, lw=0.8)
+    ax.set_xlabel("super-step")
+    ax.set_ylabel("ladder slot (0 = coldest)")
+    ax.set_title("Replica slot trajectories")
+
+    ax = axes[0][1]
+    if ladder.size:
+        ax.plot(ladder, "o-")
+        ax.set_yscale("log")
+    ax.set_xlabel("slot")
+    ax.set_ylabel("temperature")
+    ax.set_title("Temperature ladder")
+
+    ax = axes[1][0]
+    if rates.size:
+        ax.bar(range(len(rates)), rates)
+    ax.set_xlabel("adjacent pair")
+    ax.set_ylabel("exchange rate")
+    ax.set_title("Exchange acceptance rates")
+
+    ax = axes[1][1]
+    # slot-occupancy mixing matrix: fraction of time replica r spent in slot s
+    n_slots = int(traj.max()) + 1 if traj.size else 1
+    occ = np.zeros((traj.shape[1], n_slots))
+    for s in range(n_slots):
+        occ[:, s] = (traj == s).mean(axis=0)
+    im = ax.imshow(occ[:max_replicas], aspect="auto", cmap="viridis")
+    fig.colorbar(im, ax=ax, label="occupancy")
+    ax.set_xlabel("slot")
+    ax.set_ylabel("replica")
+    ax.set_title("Slot occupancy (mixing)")
+
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def plot_exchange_matrix(result, path: str = "pt_exchange_matrix.png") -> str:
+    """Pairwise exchange-flow matrix from the slot trajectory: counts of
+    observed slot transitions s -> s' per super-step (the reference's
+    exchange-matrix panel, parallel_tempering.py:323-410)."""
+    import numpy as np
+
+    plt = _plt()
+    traj = np.asarray(result.metadata["slot_trajectory"])   # [T, R]
+    n_slots = int(traj.max()) + 1 if traj.size else 1
+    mat = np.zeros((n_slots, n_slots))
+    for t in range(1, traj.shape[0]):
+        np.add.at(mat, (traj[t - 1], traj[t]), 1)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(mat, cmap="magma")
+    fig.colorbar(im, ax=ax, label="transitions")
+    ax.set_xlabel("slot at t+1")
+    ax.set_ylabel("slot at t")
+    ax.set_title("Exchange transition matrix")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

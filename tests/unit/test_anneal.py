@@ -263,3 +263,175 @@ class TestLadderTuning:
         res = pt_mod.run(p, cfg, ladder_override=custom)
         np.testing.assert_allclose(res.metadata["ladder"], custom, rtol=1e-6)
         assert "slot_energy" in res.metadata
+
+
+class TestCheckpointResume:
+    """Driver-level checkpoint/resume (VERDICT.md missing #4; reference
+    batch_processor.py:521-531 + training_pipeline.py:437-507 save AND
+    load). Kill-and-resume must reproduce the uninterrupted run under a
+    fixed seed."""
+
+    def test_sa_resume_reproduces_uninterrupted(self, tmp_path):
+        import os
+
+        p = _problem(24, seed=5)
+        cfg = SA.SAConfig(n_sweeps=200, n_replicas=4, record_interval=20,
+                          enable_early_stop=False, seed=11)
+        ref = SA.anneal(p, cfg)
+
+        d = str(tmp_path / "sa_ckpt")
+        full = SA.anneal(p, cfg, checkpoint_dir=d, checkpoint_every=2)
+        np.testing.assert_allclose(full.best_energy, ref.best_energy,
+                                   rtol=1e-5)
+        # simulate a crash: drop the last checkpoints, resume from an
+        # intermediate one
+        ckpts = sorted(f for f in os.listdir(d) if f.startswith("ckpt_"))
+        assert len(ckpts) >= 2
+        for f in ckpts[1:]:
+            os.remove(os.path.join(d, f))
+        res = SA.anneal(p, cfg, checkpoint_dir=d, resume=True)
+        np.testing.assert_allclose(res.best_energy, ref.best_energy,
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(res.best_spins, ref.best_spins)
+        np.testing.assert_allclose(np.asarray(res.energy_history),
+                                   np.asarray(ref.energy_history), rtol=1e-5)
+
+    def test_pt_segmented_matches_single_dispatch(self, tmp_path):
+        p = _problem(24, seed=6)
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=80, exchange_interval=10,
+                          seed=3)
+        ref = PT.run(p, cfg)
+        seg = PT.run(p, cfg, checkpoint_dir=str(tmp_path / "pt_ckpt"),
+                     checkpoint_every=3)
+        np.testing.assert_allclose(seg.best_energy, ref.best_energy,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(seg.energy_history), np.asarray(ref.energy_history),
+            rtol=1e-4)
+
+    def test_pt_resume_reproduces_uninterrupted(self, tmp_path):
+        import os
+
+        p = _problem(24, seed=7)
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=80, exchange_interval=10,
+                          seed=4)
+        d = str(tmp_path / "pt_ckpt2")
+        ref = PT.run(p, cfg, checkpoint_dir=d, checkpoint_every=2)
+        ckpts = sorted(f for f in os.listdir(d) if f.startswith("ckpt_"))
+        for f in ckpts[1:]:
+            os.remove(os.path.join(d, f))
+        res = PT.run(p, cfg, checkpoint_dir=d, resume=True)
+        np.testing.assert_allclose(res.best_energy, ref.best_energy,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.metadata["exchange_rates"]),
+            np.asarray(ref.metadata["exchange_rates"]), atol=1e-6)
+
+
+class TestMultiChainPT:
+    """n_chains > 1: independent PT chains sharing one ladder, swept in one
+    lockstep batch (the TPU-native way to fill the chip at small ladders)."""
+
+    def test_chains_run_and_slots_stay_permutations(self):
+        p = _problem(24, seed=8)
+        cfg = PT.PTConfig(n_replicas=4, n_chains=3, n_sweeps=60,
+                          exchange_interval=10, seed=5)
+        res = PT.run(p, cfg)
+        assert np.isfinite(res.best_energy)
+        rates = np.asarray(res.metadata["exchange_rates"])
+        assert rates.shape == (3,)
+        assert np.all((rates >= 0) & (rates <= 1))
+
+    def test_chain_exchange_independence(self, key):
+        """exchange_step with C chains: each chain's slots remain a
+        permutation of the ladder."""
+        p = _problem(16, seed=9)
+        cfg = PT.PTConfig(n_replicas=4, n_chains=3, n_sweeps=10,
+                          exchange_interval=5, seed=6)
+        eng = None
+        state = PT.init_state(p, cfg, key)
+        betas = jnp.asarray(1.0 / PT.temperature_ladder(cfg))
+        st = PT.exchange_step(state, betas, jnp.int32(0), key,
+                              n_chains=3)
+        slots = np.asarray(st.slot).reshape(3, 4)
+        for c in range(3):
+            assert sorted(slots[c].tolist()) == [0, 1, 2, 3]
+
+    def test_more_chains_at_least_as_good(self):
+        """With the same per-chain budget, 4 chains' best-of is (stochastically)
+        at least as good as 1 chain's on a frustrated instance — structural
+        sanity, fixed seed."""
+        p = _problem(32, seed=10)
+        cfg1 = PT.PTConfig(n_replicas=4, n_chains=1, n_sweeps=100,
+                           exchange_interval=10, seed=7)
+        cfg4 = PT.PTConfig(n_replicas=4, n_chains=4, n_sweeps=100,
+                           exchange_interval=10, seed=7)
+        r1 = PT.run(p, cfg1)
+        r4 = PT.run(p, cfg4)
+        assert r4.best_energy <= r1.best_energy + 1e-3
+
+
+class TestPTExchangeModes:
+    """All-pairs exchange + cluster-move mixing + slot trajectories
+    (VERDICT.md next-round #5/#6; reference parallel_tempering.py:222-232,
+    323-410)."""
+
+    def test_all_pairs_runs_and_exchanges(self):
+        p = _problem(24, seed=12)
+        cfg = PT.PTConfig(n_replicas=8, n_sweeps=100, exchange_interval=10,
+                          exchange_method="all_pairs", seed=8,
+                          min_temp=0.5, max_temp=3.0)
+        res = PT.run(p, cfg)
+        assert np.isfinite(res.best_energy)
+        rates = np.asarray(res.metadata["exchange_rates"])
+        assert res.metadata["exchange_method"] == "all_pairs"
+        # random matchings attempt non-adjacent pairs too; with a tight
+        # ladder some exchanges must land
+        assert np.asarray(res.metadata["exchange_rates"]).max() > 0
+
+    def test_all_pairs_slot_permutation_preserved(self, key):
+        p = _problem(16, seed=13)
+        cfg = PT.PTConfig(n_replicas=8, n_chains=2, n_sweeps=10,
+                          exchange_interval=5, seed=9)
+        state = PT.init_state(p, cfg, key)
+        betas = jnp.asarray(1.0 / PT.temperature_ladder(cfg))
+        st = PT.exchange_step_all_pairs(state, betas, key, n_chains=2)
+        slots = np.asarray(st.slot).reshape(2, 8)
+        for c in range(2):
+            assert sorted(slots[c].tolist()) == list(range(8))
+
+    def test_slot_trajectory_recorded(self):
+        p = _problem(24, seed=14)
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=60, exchange_interval=10,
+                          seed=10)
+        res = PT.run(p, cfg)
+        traj = np.asarray(res.metadata["slot_trajectory"])
+        assert traj.shape == (6, 4)
+        for t in range(traj.shape[0]):
+            assert sorted(traj[t].tolist()) == [0, 1, 2, 3]
+
+    def test_cluster_moves_mix_in(self):
+        p = _problem(24, seed=15)
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=40, exchange_interval=10,
+                          cluster_moves=1, seed=11)
+        res = PT.run(p, cfg)
+        assert np.isfinite(res.best_energy)
+        # energies remain exact after mixed SW + Metropolis updates
+        # (best <= all current energies is implied by best tracking)
+        assert res.best_energy <= np.min(np.asarray(
+            res.replica_best_energy)) + 1e-6
+
+    def test_trajectory_plots_render(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from spinglass_tpu.utils import plotting
+
+        p = _problem(24, seed=16)
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=60, exchange_interval=10,
+                          seed=12)
+        res = PT.run(p, cfg)
+        p1 = plotting.plot_replica_trajectories(
+            res, str(tmp_path / "traj.png"))
+        p2 = plotting.plot_exchange_matrix(
+            res, str(tmp_path / "xmat.png"))
+        import os
+        assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0

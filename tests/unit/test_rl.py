@@ -502,3 +502,35 @@ class TestRewardComponents:
                                       np.ones(4, np.int32))
         np.testing.assert_array_equal(np.asarray(state.step),
                                       np.zeros(4, np.int32))
+
+
+class TestRLCheckpointResume:
+    def test_pipeline_resume_continues(self, tmp_path):
+        """Kill-and-resume on the PPO pipeline: the resumed run picks up at
+        the saved update index with the full TrainState (reference
+        training_pipeline.py:437-507)."""
+        d = str(tmp_path / "rl_ckpt")
+        p = _problem()
+        env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8)
+        ppo_cfg = ppo_mod.PPOConfig(rollout_len=2, n_epochs=1,
+                                    n_minibatches=1, hidden_sizes=(16,))
+        cfg = TrainingConfig(agent="ppo", n_updates=4, checkpoint_interval=2,
+                             checkpoint_dir=d, seed=3)
+        pipe = RLTrainingPipeline(cfg, env_cfg, ppo_cfg, problem=p)
+        out_full = pipe.train()
+        assert len(pipe.metrics) == 4
+
+        # resumed pipeline starts after the last saved update (update 3,
+        # saved at (3+1) % 2 == 0) and so trains 0 further updates; with the
+        # mid checkpoint deleted it would continue from update 1.
+        import os
+        pipe2 = RLTrainingPipeline(
+            TrainingConfig(agent="ppo", n_updates=4, checkpoint_interval=2,
+                           checkpoint_dir=d, seed=3, resume=True),
+            env_cfg, ppo_cfg, problem=p)
+        out2 = pipe2.train()
+        assert len(pipe2.metrics) == 0  # nothing left to do
+        # params preserved through resume
+        for a, b in zip(jax.tree.leaves(out_full["params"]),
+                        jax.tree.leaves(out2["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

