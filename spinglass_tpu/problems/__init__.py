@@ -1,6 +1,7 @@
 from spinglass_tpu.problems.base import ProblemTemplate, ProblemSolution
 from spinglass_tpu.problems.maxcut import MaxCutProblem
-from spinglass_tpu.problems.routing import TSPProblem, VRPProblem, distance_matrix
+from spinglass_tpu.problems.routing import (TSPProblem, VRPProblem,
+                                            VRPArcProblem, distance_matrix)
 from spinglass_tpu.problems.scheduling import (
     SchedulingProblem, JobShopScheduling, Task, Agent,
 )
@@ -17,6 +18,7 @@ PROBLEM_REGISTRY = {
     "maxcut": MaxCutProblem,
     "tsp": TSPProblem,
     "vrp": VRPProblem,
+    "vrp_arc": VRPArcProblem,
     "scheduling": SchedulingProblem,
     "jobshop": JobShopScheduling,
     "resource": ResourceAllocationProblem,

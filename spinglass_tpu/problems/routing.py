@@ -292,3 +292,242 @@ class VRPProblem(ProblemTemplate):
                 f"vehicle_{k}_overload": max(0.0, l - self.capacity)
                 for k, l in loads.items()},
         )
+
+
+class VRPArcProblem(ProblemTemplate):
+    """Arc-based capacitated VRP — the reference's exact encoding
+    (routing.py:416-569): x[i, j, k] = 1 iff vehicle k travels arc i -> j,
+    n_spins = L^2 * K (L locations incl. depot 0), with all four constraint
+    families:
+
+    * customer service — each customer has exactly one incoming arc over all
+      origins and vehicles (routing.py:492-516, cardinality-1)
+    * vehicle flow — per (vehicle, location): incoming == outgoing
+      (routing.py:518-546, +-1-weighted equality)
+    * capacity — customers whose demand exceeds a vehicle's capacity are
+      excluded from that vehicle via arc field penalties (routing.py:548-571;
+      the reference's own comment notes full route-load tracking needs
+      cumulative state), PLUS a route-load soft penalty the reference lacks:
+      slack-register inequality sum_c d_c y_ck <= capacity with binary slack
+      bits, so overloads are penalized quadratically instead of only the
+      single-customer case
+    * depot — each vehicle uses exactly one depot-departure arc
+      (routing.py:573-588, cardinality-1)
+
+    Self-arcs x[i, i, k] are suppressed with field penalties. All terms are
+    built vectorized and scattered once (no per-coupling set_coupling calls).
+    The position-based ``VRPProblem`` above stays the TPU-friendlier default
+    (quadratically fewer spins); this class is the reference-parity encoding.
+    """
+
+    name = "vrp_arc"
+
+    def __init__(self, locations: Optional[np.ndarray] = None,
+                 demands: Optional[np.ndarray] = None,
+                 n_vehicles: int = 2, capacity: float = float("inf")):
+        super().__init__()
+        self.locations = None if locations is None else np.asarray(locations)
+        self.demands = None if demands is None else np.asarray(demands)
+        self.n_vehicles = n_vehicles
+        self.capacity = capacity
+        self._distances = None
+
+    def generate_random_instance(self, n_customers: int = 5,
+                                 n_vehicles: int = 2, seed: int = 0,
+                                 box: float = 100.0,
+                                 capacity: float = 0.0) -> None:
+        rng = np.random.default_rng(seed)
+        self.locations = rng.uniform(0, box, (n_customers + 1, 2))
+        self.demands = rng.uniform(1, 10, n_customers)
+        self.n_vehicles = n_vehicles
+        self.capacity = capacity if capacity > 0 else (
+            1.6 * self.demands.sum() / n_vehicles)
+        self._distances = None
+
+    @property
+    def n_locations(self) -> int:
+        return len(self.locations)
+
+    @property
+    def distances(self) -> np.ndarray:
+        if self._distances is None:
+            self._distances = distance_matrix(self.locations)
+        return self._distances
+
+    def spin_index(self, i: int, j: int, k: int) -> int:
+        ll, kk = self.n_locations, self.n_vehicles
+        return (i * ll + j) * kk + k
+
+    def _arc_grid(self):
+        ll, kk = self.n_locations, self.n_vehicles
+        i, j, k = np.meshgrid(np.arange(ll), np.arange(ll), np.arange(kk),
+                              indexing="ij")
+        return i.ravel(), j.ravel(), k.ravel()
+
+    def encode_to_ising(self, penalty_weights: Optional[dict] = None,
+                        n_slack_bits: int = 3, **params) -> IsingProblem:
+        ll, kk = self.n_locations, self.n_vehicles
+        d = self.distances
+        if penalty_weights is None:
+            scale = 2.0 * float(d.max())
+            penalty_weights = {
+                "customer_service": scale,
+                "vehicle_flow": scale,
+                "capacity": 0.5 * scale,
+                "depot_return": 0.75 * scale,
+            }
+        n_arcs = ll * ll * kk
+        # slack registers: per vehicle, n_slack_bits binary bits encoding the
+        # unused capacity for the route-load inequality
+        n_spins = n_arcs + kk * n_slack_bits
+
+        # objective: distance on every used arc (reference routing.py:476-490)
+        i, j, k = self._arc_grid()
+        idx = (i * ll + j) * kk + k
+        off = i != j
+        obj = C.binary_quadratic_terms(
+            np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0),
+            idx[off], d[i[off], j[off]])
+        # suppress self-arcs
+        self_pen = C.binary_quadratic_terms(
+            np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0),
+            idx[~off], np.full((~off).sum(), 10.0 * float(d.max())))
+
+        self.compiler = C.ConstraintCompiler()
+        w = penalty_weights
+
+        # (1) customer service: one incoming arc per customer
+        for c in range(1, ll):
+            inc = np.array([self.spin_index(i2, c, k2)
+                            for i2 in range(ll) if i2 != c
+                            for k2 in range(kk)])
+            self.compiler.add(C.CardinalityConstraint(
+                name=f"customer_{c}_served", indices=inc, k=1,
+                weight=w["customer_service"]))
+
+        # (2) vehicle flow conservation: in == out per (vehicle, location).
+        # |in| == |out| and the coefficients sum to zero, so the binary
+        # balance equals the spin balance with weight lam/4.
+        for k2 in range(kk):
+            for loc in range(ll):
+                inc = np.array([self.spin_index(i2, loc, k2)
+                                for i2 in range(ll) if i2 != loc])
+                out = np.array([self.spin_index(loc, j2, k2)
+                                for j2 in range(ll) if j2 != loc])
+                self.compiler.add(C.EqualityConstraint(
+                    name=f"flow_k{k2}_l{loc}",
+                    indices=np.concatenate([inc, out]),
+                    coeffs=np.concatenate([np.ones(len(inc)),
+                                           -np.ones(len(out))]),
+                    target=0.0,
+                    weight=w["vehicle_flow"] / 4.0))
+
+        # (3a) capacity exclusion (reference parity): demand > capacity
+        # means no incoming arcs for that (customer, vehicle)
+        cap_excl_i, cap_excl_v = [], []
+        for k2 in range(kk):
+            for c in range(1, ll):
+                if self.demands[c - 1] > self.capacity:
+                    for i2 in range(ll):
+                        if i2 != c:
+                            cap_excl_i.append(self.spin_index(i2, c, k2))
+                            cap_excl_v.append(w["capacity"])
+        if cap_excl_i:
+            self.compiler.add(C.CustomConstraint(
+                name="capacity_exclusion", weight=1.0,
+                terms_fn=lambda ii=np.array(cap_excl_i, np.int64),
+                vv=np.array(cap_excl_v): C.binary_quadratic_terms(
+                    np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0), ii, vv),
+                violation_fn=lambda s, ii=np.array(cap_excl_i, np.int64):
+                float((np.asarray(s)[ii] > 0).sum())))
+
+        # (3b) route-load inequality via binary slack register (beyond the
+        # reference): sum_c d_c * served_by_k(c) + slack = capacity, slack in
+        # [0, 2^B - 1] scaled to the capacity range. served_by_k(c) is the
+        # incoming-arc indicator sum.
+        if np.isfinite(self.capacity) and n_slack_bits > 0:
+            slack_unit = self.capacity / (2 ** n_slack_bits - 1)
+            for k2 in range(kk):
+                idx_l, coef_l = [], []
+                for c in range(1, ll):
+                    for i2 in range(ll):
+                        if i2 != c:
+                            idx_l.append(self.spin_index(i2, c, k2))
+                            coef_l.append(float(self.demands[c - 1]))
+                for b in range(n_slack_bits):
+                    idx_l.append(n_arcs + k2 * n_slack_bits + b)
+                    coef_l.append(slack_unit * (2 ** b))
+                # binary equality sum c_i x_i = capacity -> spin space:
+                # sum (c_i/2) s_i = capacity - sum(c_i)/2
+                coefs = np.asarray(coef_l) / 2.0
+                target = self.capacity - np.asarray(coef_l).sum() / 2.0
+                self.compiler.add(C.EqualityConstraint(
+                    name=f"capacity_load_k{k2}",
+                    indices=np.asarray(idx_l, np.int64), coeffs=coefs,
+                    target=target, weight=w["capacity"]
+                    / max(float(self.demands.max()) ** 2, 1.0)))
+
+        # (4) depot departure: exactly one outgoing depot arc per vehicle
+        for k2 in range(kk):
+            dep = np.array([self.spin_index(0, j2, k2)
+                            for j2 in range(1, ll)])
+            self.compiler.add(C.CardinalityConstraint(
+                name=f"depot_departure_k{k2}", indices=dep, k=1,
+                weight=w["depot_return"]))
+
+        t = C.Terms.concat([obj, self_pen, self.compiler.compile()])
+        self._problem = IsingProblem.from_terms(
+            n_spins, t.quad_i, t.quad_j, t.quad_v, t.lin_i, t.lin_v)
+        return self._problem
+
+    def decode_solution(self, spins: np.ndarray) -> ProblemSolution:
+        """Follow arcs from the depot per vehicle (reference
+        routing.py:590-661)."""
+        ll, kk = self.n_locations, self.n_vehicles
+        x = spins_to_binary(spins)[: ll * ll * kk].reshape(ll, ll, kk)
+        d = self.distances
+        routes, total = [], 0.0
+        for k in range(kk):
+            route, cur, visited = [0], 0, {0}
+            for _ in range(ll):
+                nxt = None
+                for j in range(ll):
+                    if j != cur and x[cur, j, k] == 1:
+                        nxt = j
+                        break
+                if nxt is None:
+                    break
+                total += d[cur, nxt]
+                if nxt == 0 or nxt in visited:
+                    route.append(0)
+                    break
+                route.append(nxt)
+                visited.add(nxt)
+                cur = nxt
+            if len(route) > 1:
+                routes.append(route)
+        served = {loc for r in routes for loc in r if loc > 0}
+        unserved = set(range(1, ll)) - served
+        loads = {}
+        for k, r in enumerate(routes):
+            loads[k] = float(sum(self.demands[c - 1] for c in r if c > 0))
+        overload = {k: max(0.0, l - self.capacity) for k, l in loads.items()}
+        feasible = not unserved and all(v <= 1e-9 for v in overload.values())
+        return ProblemSolution(
+            objective_value=total,
+            variables={"routes": routes, "loads": loads},
+            is_feasible=feasible,
+            constraint_violations={
+                "unserved_customers": float(len(unserved)),
+                **{f"vehicle_{k}_overload": v for k, v in overload.items()},
+            },
+            metadata={"n_routes": len(routes),
+                      "served_customers": len(served)},
+        )
+
+    def validate_solution(self, solution: ProblemSolution) -> bool:
+        """All customers served (reference routing.py:663-677)."""
+        served = {loc for r in solution.variables["routes"] for loc in r
+                  if loc > 0}
+        return served == set(range(1, self.n_locations))
