@@ -203,3 +203,61 @@ class TestMultihost:
                        use_pallas="never", min_temp=0.2, max_temp=4.0, seed=0)
         res = pt_sharded.run(p, cfg, mesh=mesh)
         assert res.best_energy <= -0.9 * (24 * 23 / 2)
+
+
+class TestShardedSparse:
+    """pt_sharded over EllProblem (VERDICT.md weak #9: the sharded path was
+    only exercised dense)."""
+
+    def test_sharded_pt_over_ellproblem(self, mesh):
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        n = 300
+        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+                                               dist="gaussian", seed=5)
+        ell = EllProblem.from_coo(n, *coo)
+        n_dev = mesh.devices.size
+        cfg = PTConfig(n_replicas=2 * n_dev, n_sweeps=60,
+                       exchange_interval=10, seed=4)
+        res = pt_sharded.run(ell, cfg, mesh)
+        assert np.isfinite(res.best_energy)
+        assert res.best_energy < 0
+        assert res.metadata["n_devices"] == n_dev
+        # matches the single-device run under the same seed
+        from spinglass_tpu.anneal import pt as pt_single
+
+        ref = pt_single.run(ell, cfg)
+        np.testing.assert_allclose(res.best_energy, ref.best_energy,
+                                   rtol=1e-4)
+
+
+class TestCommunicationBudget:
+    """Assertion-style resharding guard (VERDICT.md weak #9): one sharded PT
+    super-step must move only O(R) ladder bookkeeping between devices —
+    never spin-sized [R, Np] payloads (the design contract of slot-swap
+    exchanges, anneal/pt.py module docstring)."""
+
+    def test_superstep_collectives_are_small(self, mesh):
+        import re
+
+        p = _problem(64, seed=6)
+        n_dev = mesh.devices.size
+        cfg = PTConfig(n_replicas=2 * n_dev, exchange_interval=5,
+                       use_pallas="never", seed=7)
+        step, init, betas, engine, sh = pt_sharded.make_sharded_pt_step(
+            p, cfg, mesh)
+        state = init(jax.random.key(0))
+        txt = jax.jit(step).lower(state).compile().as_text()
+        # every collective's payload must stay below spin size:
+        # R * Np would be 2*n_dev*128 >= 2048 elements; the slot/energy
+        # vectors are O(R) = O(16)
+        limit = cfg.n_replicas * 64  # generous: 64 f32 per replica
+        offenders = []
+        for m in re.finditer(
+                r"(all-gather|all-reduce|collective-permute|all-to-all)"
+                r"[^\n]*?\b[a-z0-9]+\[([0-9,]*)\]", txt):
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            size = int(np.prod(dims)) if dims else 1
+            if size > limit:
+                offenders.append(m.group(0)[:120])
+        assert not offenders, offenders
