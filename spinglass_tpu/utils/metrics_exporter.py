@@ -113,12 +113,20 @@ def global_registry() -> MetricsRegistry:
 
 
 class MetricsServer:
-    """Background /metrics HTTP endpoint for Prometheus scrapes."""
+    """Background /metrics HTTP endpoint for Prometheus scrapes.
+
+    ``auth``: optional utils.security.TokenAuthenticator — when set, every
+    request must carry ``Authorization: Bearer <token>`` with at least the
+    ``reader`` role (401 otherwise; checks are constant-time and audited).
+    This is the one real HTTP surface the framework exposes, gated with the
+    intent of the reference's enterprise tier
+    (security/enterprise_security.py:78-1089) minus the simulation."""
 
     def __init__(self, registry: Optional[MetricsRegistry] = None,
-                 host: str = "127.0.0.1", port: int = 9109):
+                 host: str = "127.0.0.1", port: int = 9109, auth=None):
         self.registry = registry or global_registry()
         reg = self.registry
+        authenticator = auth
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (http.server API)
@@ -126,6 +134,15 @@ class MetricsServer:
                     self.send_response(404)
                     self.end_headers()
                     return
+                if authenticator is not None:
+                    header = self.headers.get("Authorization", "")
+                    token = (header[len("Bearer "):]
+                             if header.startswith("Bearer ") else None)
+                    if not authenticator.check(token, "reader"):
+                        self.send_response(401)
+                        self.send_header("WWW-Authenticate", "Bearer")
+                        self.end_headers()
+                        return
                 body = reg.render().encode()
                 self.send_response(200)
                 self.send_header("Content-Type",

@@ -9,8 +9,10 @@ paths from the CLI and untrusted problem payloads."""
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
+import secrets
 import time
 from dataclasses import dataclass
 from enum import Enum
@@ -108,3 +110,53 @@ class AuditLogger:
             return []
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+@dataclass
+class TokenAuthenticator:
+    """Minimal role-based bearer-token gate (the real-world core of the
+    reference's simulated enterprise tier, security/enterprise_security.py:
+    78-1089: API keys + RBAC + audit — without the simulation theater).
+
+    tokens: {token: role}; require(token, role) checks membership with a
+    constant-time comparison and writes an audit record when a logger is
+    attached. Roles form a simple hierarchy: admin > writer > reader."""
+
+    tokens: dict
+    audit: Optional["AuditLogger"] = None
+
+    _ROLE_RANK = {"reader": 0, "writer": 1, "admin": 2}
+
+    def check(self, token: Optional[str], required_role: str = "reader"
+              ) -> bool:
+        ok = False
+        granted = None
+        if token:
+            for t, role in self.tokens.items():
+                # constant-time comparison on every candidate (no
+                # early-exit timing side channel on token identity)
+                if hmac.compare_digest(str(t), str(token)):
+                    granted = role
+            if granted is not None:
+                ok = (self._ROLE_RANK.get(granted, -1)
+                      >= self._ROLE_RANK.get(required_role, 0))
+        if self.audit is not None:
+            self.audit.log("auth_check", granted=bool(ok),
+                           role=granted or "none",
+                           required=required_role)
+        return ok
+
+    def issue(self, role: str = "reader") -> str:
+        """Generate and register a new random token for ``role``."""
+        token = secrets.token_urlsafe(32)
+        self.tokens[token] = role
+        if self.audit is not None:
+            self.audit.log("token_issued", role=role)
+        return token
+
+    def revoke(self, token: str) -> bool:
+        found = token in self.tokens
+        self.tokens.pop(token, None)
+        if self.audit is not None:
+            self.audit.log("token_revoked", found=found)
+        return found

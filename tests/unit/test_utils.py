@@ -210,3 +210,51 @@ class TestRobust:
 
         with pytest.raises(ValueError):
             broken()
+
+
+class TestMetricsAuth:
+    """Token-gated metrics endpoint (VERDICT.md next-round #10: the one real
+    HTTP surface, gated with the reference enterprise tier's intent)."""
+
+    def test_token_roles_and_revocation(self, tmp_path):
+        from spinglass_tpu.utils.security import AuditLogger, TokenAuthenticator
+
+        audit = AuditLogger(path=str(tmp_path / "audit.jsonl"))
+        auth = TokenAuthenticator(tokens={}, audit=audit)
+        reader = auth.issue("reader")
+        admin = auth.issue("admin")
+        assert auth.check(reader, "reader")
+        assert not auth.check(reader, "admin")
+        assert auth.check(admin, "reader")   # hierarchy: admin >= reader
+        assert auth.check(admin, "admin")
+        assert not auth.check("wrong-token")
+        assert not auth.check(None)
+        assert auth.revoke(reader)
+        assert not auth.check(reader)
+        actions = [e["action"] for e in audit.entries()]
+        assert "token_issued" in actions and "auth_check" in actions
+
+    def test_metrics_server_requires_bearer_token(self):
+        import urllib.request
+        import urllib.error
+
+        from spinglass_tpu.utils.metrics_exporter import (MetricsRegistry,
+                                                          MetricsServer)
+        from spinglass_tpu.utils.security import TokenAuthenticator
+
+        reg = MetricsRegistry()
+        reg.counter_inc("sweeps_total", 3.0)
+        auth = TokenAuthenticator(tokens={})
+        token = auth.issue("reader")
+        srv = MetricsServer(reg, port=0, auth=auth).start()
+        try:
+            url = f"http://127.0.0.1:{srv.port}/metrics"
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(url)
+            assert exc.value.code == 401
+            req = urllib.request.Request(
+                url, headers={"Authorization": f"Bearer {token}"})
+            body = urllib.request.urlopen(req).read().decode()
+            assert "spinglass_sweeps_total 3.0" in body
+        finally:
+            srv.stop()
