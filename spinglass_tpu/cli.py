@@ -43,7 +43,7 @@ def _make_problem(problem: str, size: int, seed: int):
     template = PROBLEM_REGISTRY[problem]()
     if problem == "tsp":
         template.generate_random_instance(n_cities=size, seed=seed)
-    elif problem == "vrp":
+    elif problem in ("vrp", "vrp_arc"):
         template.generate_random_instance(n_customers=size, seed=seed)
     elif problem == "maxcut":
         template.generate_random_instance(n_nodes=size, seed=seed)
@@ -77,9 +77,21 @@ def _make_problem(problem: str, size: int, seed: int):
 @click.option("--tune-ladder", is_flag=True,
               help="PT only: feedback-optimize the temperature ladder with a "
                    "pilot run before the main anneal")
+@click.option("--exchange-method", default="nearest_neighbor",
+              type=click.Choice(["nearest_neighbor", "all_pairs"]),
+              help="PT replica-exchange pairing")
+@click.option("--chains", default=1, help="PT: independent chains batched "
+                                          "together (fills the chip)")
+@click.option("--cluster-moves", default=0,
+              help="PT: Swendsen-Wang sweeps mixed in per exchange interval")
+@click.option("--checkpoint-dir", default=None,
+              help="periodic state checkpoints; with --resume continues a "
+                   "killed run exactly")
+@click.option("--resume", is_flag=True)
 @click.option("--quiet", is_flag=True)
 def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
-          tune_ladder, quiet):
+          tune_ladder, exchange_method, chains, cluster_moves,
+          checkpoint_dir, resume, quiet):
     """Solve a randomly generated problem instance (reference cli.py:42-155)."""
     from spinglass_tpu.anneal import pt as pt_mod
     from spinglass_tpu.anneal.sa import SAConfig
@@ -93,17 +105,21 @@ def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
                            initial_temp=5.0, final_temp=0.01,
                            total_sweeps=sweeps),
                        seed=seed)
-        sol = template.solve(cfg)
+        sol = template.solve(cfg, checkpoint_dir=checkpoint_dir,
+                             resume=resume)
     else:
         template.encode_to_ising()
-        cfg = pt_mod.PTConfig(n_replicas=replicas, n_sweeps=sweeps, seed=seed)
+        cfg = pt_mod.PTConfig(n_replicas=replicas, n_sweeps=sweeps, seed=seed,
+                              exchange_method=exchange_method,
+                              n_chains=chains, cluster_moves=cluster_moves)
         ladder = None
         if tune_ladder:
             ladder, _ = pt_mod.tune_ladder(
                 template.problem, cfg, n_pilot_sweeps=max(sweeps // 4, 50))
             if not quiet:
                 click.echo(f"tuned ladder: {np.round(ladder, 3).tolist()}")
-        res = pt_mod.run(template.problem, cfg, ladder_override=ladder)
+        res = pt_mod.run(template.problem, cfg, ladder_override=ladder,
+                         checkpoint_dir=checkpoint_dir, resume=resume)
         sol = template.decode_solution(res.best_spins)
         sol.energy = res.best_energy
         sol.metadata["anneal"] = res.summary()

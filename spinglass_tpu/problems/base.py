@@ -90,16 +90,18 @@ class ProblemTemplate(abc.ABC):
         return self._problem
 
     def solve(self, config: Optional[SAConfig] = None,
-              annealer=None) -> ProblemSolution:
+              annealer=None, **anneal_kwargs) -> ProblemSolution:
         """encode → anneal → decode (reference base.py:118-146).
 
         ``annealer`` may override the solve fn: any callable
-        (IsingProblem, config) -> AnnealResult (e.g. pt.run wrapped)."""
+        (IsingProblem, config) -> AnnealResult (e.g. pt.run wrapped).
+        Extra kwargs pass through to the solver (checkpoint_dir=, resume=)."""
         if self._problem is None:
             self.encode_to_ising()
         t0 = time.perf_counter()
         solve_fn = annealer or anneal
-        result: AnnealResult = solve_fn(self._problem, config)
+        result: AnnealResult = solve_fn(self._problem, config,
+                                        **anneal_kwargs)
         sol = self.decode_solution(result.best_spins)
         sol.energy = result.best_energy
         sol.metadata.update({
