@@ -25,9 +25,27 @@ multiple VS THAT ASSUMED CPU BASELINE (label it as such when quoting).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache (works through the axon tunnel —
+    measured 0.67 s -> 0.03 s on a repeat compile), so the driver's
+    default --all run does not re-pay the multi-minute remote compiles
+    every round."""
+    import jax
+
+    cache_dir = os.environ.get("SPINGLASS_JAX_CACHE",
+                               os.path.expanduser("~/.cache/jax_spinglass"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: benign
+
 
 BASELINE_FLIPS = 1.0e6
 
@@ -187,34 +205,124 @@ def bench_pt10k():
     }
 
 
+def bench_rl():
+    """PPO controller training throughput (env steps/s, steady state) —
+    the BASELINE.md 'PPO env-steps/s' north-star metric. The learning-
+    significance proof (trained beats geometric + random, Welch-t) lives in
+    tests/integration/test_rl_learns.py; this records the throughput."""
+    import jax
+
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem
+    from spinglass_tpu.rl import ppo as ppo_mod
+    from spinglass_tpu.rl.env import EnvConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 512 if on_tpu else 64
+    n_envs = 256 if on_tpu else 16
+    n_updates = 12 if on_tpu else 4
+    j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
+                                 seed=SEED)
+    problem = IsingProblem.from_dense(j)
+    env_cfg = EnvConfig(n_envs=n_envs, sweeps_per_step=10, max_steps=50,
+                        init_temp_range=(0.1, 20.0))
+    ppo_cfg = ppo_mod.PPOConfig(n_updates=n_updates, rollout_len=8,
+                                hidden_sizes=(128, 128), seed=SEED)
+    out = ppo_mod.train(problem, env_cfg, ppo_cfg)
+    sps = out["env_steps_per_second"]
+    return {
+        "metric": "ppo_env_steps_per_sec",
+        "value": sps,
+        "unit": "env_steps/s",
+        "vs_baseline": sps * env_cfg.sweeps_per_step * n / BASELINE_FLIPS,
+        "extras": {"n_spins": n, "n_envs": n_envs, "n_updates": n_updates,
+                   "sweeps_per_env_step": env_cfg.sweeps_per_step,
+                   "final_mean_best_energy": out["final_mean_best_energy"],
+                   "baseline": "flips-equivalent vs assumed 1e6 flips/s "
+                               "CPU reference"},
+    }
+
+
+def bench_ttt():
+    """Time-to-target-energy on a 10k-spin planted instance (BASELINE.md:
+    25-28). The planted gauge construction gives an EXACT known ground
+    energy; the metric is wall-clock (compile excluded) for 16-replica PT to
+    reach within 0.1% of it."""
+    import jax
+
+    from spinglass_tpu.anneal import pt as pt_mod
+    from spinglass_tpu.benchmarks import planted
+    from spinglass_tpu.kernels.sparse import EllProblem
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = SPARSE_N if on_tpu else 1000
+    max_sweeps = 20000 if on_tpu else 400
+    inst = planted.planted_gauge_coo(n, avg_degree=SPARSE_DEG, seed=SEED)
+    ell = EllProblem.from_coo(n, inst.rows, inst.cols, inst.vals)
+    cfg = pt_mod.PTConfig(n_replicas=16, exchange_interval=10,
+                          min_temp=0.1, max_temp=5.0, seed=SEED)
+    out = planted.time_to_target(ell, inst.e0, cfg, rel_gap=1e-3,
+                                 max_sweeps=max_sweeps)
+    return {
+        "metric": "time_to_target_seconds",
+        "value": out["seconds"],
+        "unit": "s",
+        # vs the reference's 'sub-second for 10k+ variables' claim = 1 s
+        "vs_baseline": 1.0 / max(out["seconds"], 1e-9),
+        "extras": {"n_spins": n, "target_energy": out["target_energy"],
+                   "best_energy": out["best_energy"], "hit": out["hit"],
+                   "sweeps": out["sweeps"], "engine": out["engine"],
+                   "rel_gap": 1e-3,
+                   "baseline": "reference 'sub-second 10k+' claim = 1 s"},
+    }
+
+
+def _run_all():
+    """Dense headline + sparse/pt10k/rl in extras (VERDICT.md r2 item 5:
+    regressions on ANY path must be visible in the driver artifact)."""
+    dense = bench_dense()
+    for name, fn in (("sparse", bench_sparse), ("pt10k", bench_pt10k),
+                     ("ttt", bench_ttt), ("rl", bench_rl)):
+        try:
+            sub = fn()
+            dense["extras"][name] = {k: sub[k] for k in
+                                     ("metric", "value", "unit")}
+            dense["extras"][name].update(sub["extras"])
+        except Exception as e:  # one path failing must not hide the rest
+            dense["extras"][name] = {"error": f"{type(e).__name__}: {e}"}
+    return dense
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dense", action="store_true",
+                    help="dense throughput only (old default)")
     ap.add_argument("--sparse", action="store_true",
                     help="sparse ELL throughput instead of dense")
     ap.add_argument("--pt10k", action="store_true",
                     help="full 10k-spin PT wall-clock")
+    ap.add_argument("--rl", action="store_true",
+                    help="PPO controller env-steps/s")
+    ap.add_argument("--ttt", action="store_true",
+                    help="time-to-target-energy on a planted 10k instance")
     ap.add_argument("--all", action="store_true",
-                    help="run all benches; print dense as the headline "
-                         "line with the others in extras")
+                    help="(default) run all benches; dense headline with "
+                         "the others in extras")
     args = ap.parse_args()
+    _enable_compile_cache()
 
     if args.sparse:
         print(json.dumps(bench_sparse()))
     elif args.pt10k:
         print(json.dumps(bench_pt10k()))
-    elif args.all:
-        dense = bench_dense()
-        sparse = bench_sparse()
-        pt = bench_pt10k()
-        dense["extras"]["sparse"] = {k: sparse[k] for k in
-                                     ("metric", "value", "unit")}
-        dense["extras"]["sparse"].update(sparse["extras"])
-        dense["extras"]["pt10k"] = {k: pt[k] for k in
-                                    ("metric", "value", "unit")}
-        dense["extras"]["pt10k"].update(pt["extras"])
-        print(json.dumps(dense))
-    else:
+    elif args.rl:
+        print(json.dumps(bench_rl()))
+    elif args.ttt:
+        print(json.dumps(bench_ttt()))
+    elif args.dense:
         print(json.dumps(bench_dense()))
+    else:
+        print(json.dumps(_run_all()))
 
 
 if __name__ == "__main__":

@@ -52,9 +52,10 @@ class PTConfig:
     max_temp: float = 10.0
     ladder: str = "geometric"          # geometric | linear | exponential
     exchange_interval: int = 10
-    exchange_method: str = "nearest_neighbor"  # | "all_pairs" (random
-    # non-adjacent pairings each pass — the vectorized equivalent of the
-    # reference's all-pairs sweep, parallel_tempering.py:222-232)
+    exchange_method: str = "nearest_neighbor"  # | "all_pairs" (a random
+    # perfect matching over ALL pair distances, adjacent included, each pass
+    # — the vectorized equivalent of the reference's all-pairs sweep,
+    # parallel_tempering.py:222-232)
     cluster_moves: int = 0             # Swendsen-Wang sweeps mixed in per
     # super-step (reference spin_dynamics.py:193-323 cluster capability;
     # helps decorrelation near criticality)
@@ -231,13 +232,20 @@ def exchange_step_all_pairs(state: PTState, betas_ladder: jax.Array,
 
 
 def make_pt_step(problem: IsingProblem, cfg: PTConfig,
-                 ladder_override: Optional[np.ndarray] = None
+                 ladder_override: Optional[np.ndarray] = None,
+                 engine: Optional[SweepEngine] = None
                  ) -> Tuple[Callable, jax.Array, SweepEngine]:
     """Build the jittable PT super-step: `exchange_interval` sweeps + one
-    exchange pass. Returns (step_fn, betas_ladder, engine)."""
-    engine = make_engine(problem, sweep_method=cfg.sweep_method,
-                         update_rule=cfg.update_rule,
-                         block_size=cfg.block_size, use_pallas=cfg.use_pallas)
+    exchange pass. Returns (step_fn, betas_ladder, engine).
+
+    ``engine``: pre-built sweep engine override — the sharded driver
+    (distributed/pt_sharded.py) passes a shard_map-wrapped Pallas engine so
+    the kernel runs per-device on its local replica tile."""
+    if engine is None:
+        engine = make_engine(problem, sweep_method=cfg.sweep_method,
+                             update_rule=cfg.update_rule,
+                             block_size=cfg.block_size,
+                             use_pallas=cfg.use_pallas)
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)
@@ -482,11 +490,16 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
         if restored is not None:
             state = restored["state"]
             done_super = int(restored["done_super"])
-            # reload the already-recorded history segments
+            # reload the already-recorded history segments, truncated to the
+            # restored checkpoint's step count — the on-disk history can be
+            # AHEAD of the restored state (crash between the history write
+            # and the state save, or checkpoint GC), and appending re-run
+            # segments after stale rows would break the bitwise-identical-
+            # to-uninterrupted guarantee
             hp = os.path.join(checkpoint_dir, "history.npz")
             if os.path.exists(hp):
                 with np.load(hp) as z:
-                    hists = [{k: z[k] for k in z.files}]
+                    hists = [{k: z[k][:done_super] for k in z.files}]
 
     t0 = time.perf_counter()
     while done_super < n_super:
@@ -554,13 +567,14 @@ def tune_ladder(problem: IsingProblem, cfg: PTConfig,
 
         pilot = cfg_pilot
         for attempt in range(3):
+            used_sweeps = pilot.n_sweeps
             res = run(problem, pilot, key=key, ladder_override=temps)
             e_hist = np.asarray(res.metadata["slot_energy_history"])
             cold_tail = e_hist[e_hist.shape[0] // 2:, 0]
             if len(cold_tail) >= 8 and dyn.is_equilibrated(cold_tail):
                 break
             pilot = _dc.replace(pilot, n_sweeps=pilot.n_sweeps * 2)
-        diag.setdefault("pilot_sweeps", []).append(pilot.n_sweeps)
+        diag.setdefault("pilot_sweeps", []).append(used_sweeps)
         key, _ = jax.random.split(key)
         e_slot = np.asarray(res.metadata["slot_energy"])  # [R] cold→hot
         rates = np.asarray(res.metadata["exchange_rates"])

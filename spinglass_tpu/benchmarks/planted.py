@@ -1,0 +1,149 @@
+"""Planted-ground-state instances + time-to-target-energy measurement.
+
+BASELINE.md:25-28 names *time-to-target-energy* on 10k-spin parallel
+tempering as a north-star metric, but the reference publishes no energies to
+target (BASELINE.md: "no rigorous published benchmark numbers"). Planted
+instances solve this self-containedly: generate an instance whose ground
+state and ground energy are KNOWN by construction, then measure wall-clock
+until the solver reaches it.
+
+Construction (gauge planting): draw a random connected graph with positive
+coupling magnitudes |J_ij| and a random planted state s* in {-1,+1}^N, and
+set J_ij = |J_ij| * s*_i * s*_j. Every bond is satisfied at s = s*
+(J_ij s*_i s*_j = |J_ij| > 0), so s* is a ground state with
+E0 = -sum_{i<j} |J_ij|, exactly — on any topology, at any size, with no
+transfer-matrix machinery. The gauge is invisible to the solver: local
+fields are zero and the signed couplings look like a random spin glass
+(it IS one — a gauge transform of a ferromagnet).
+
+``frustration`` > 0 plants an *approximate* target instead: that fraction of
+bonds get their sign flipped post-gauge, making the instance genuinely
+frustrated. The recorded e0 is then the planted state's energy — an upper
+bound on the true ground energy, still a well-defined target for
+time-to-target runs (the solver may go below it).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PlantedInstance:
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+    s_star: np.ndarray          # planted state [N]
+    e0: float                   # its energy (exact ground energy when
+    # frustration == 0)
+    n_spins: int
+    frustration: float
+
+
+def planted_gauge_coo(n_spins: int, avg_degree: float = 6.0, seed: int = 0,
+                      frustration: float = 0.0,
+                      magnitude: str = "uniform") -> PlantedInstance:
+    """Symmetric COO (both directions) planted instance.
+
+    magnitude: "uniform" |J| ~ U(0.5, 1.5) (gap to first excitation stays
+    macroscopic) or "ones" |J| = 1 (±J gauge glass).
+    """
+    rng = np.random.default_rng(seed)
+    m = int(n_spins * avg_degree / 2)
+    # random graph: m distinct edges, no self loops (connectivity with a
+    # chain backbone so no free-floating spins)
+    backbone = np.stack([np.arange(n_spins - 1), np.arange(1, n_spins)], 1)
+    extra = rng.integers(0, n_spins, size=(m, 2))
+    extra = extra[extra[:, 0] != extra[:, 1]]
+    edges = np.concatenate([backbone, extra])
+    edges = np.unique(np.sort(edges, axis=1), axis=0)
+
+    if magnitude == "uniform":
+        mag = rng.uniform(0.5, 1.5, size=len(edges))
+    elif magnitude == "ones":
+        mag = np.ones(len(edges))
+    else:
+        raise ValueError(magnitude)
+
+    s_star = rng.choice([-1.0, 1.0], size=n_spins)
+    vals = mag * s_star[edges[:, 0]] * s_star[edges[:, 1]]
+    if frustration > 0:
+        flip = rng.random(len(edges)) < frustration
+        vals = np.where(flip, -vals, vals)
+    # E(s*) = -sum_bonds J_ij s*_i s*_j
+    e0 = float(-np.sum(vals * s_star[edges[:, 0]] * s_star[edges[:, 1]]))
+
+    rows = np.concatenate([edges[:, 0], edges[:, 1]])
+    cols = np.concatenate([edges[:, 1], edges[:, 0]])
+    vals2 = np.concatenate([vals, vals])
+    return PlantedInstance(rows=rows, cols=cols, vals=vals2,
+                           s_star=s_star, e0=e0, n_spins=n_spins,
+                           frustration=frustration)
+
+
+def time_to_target(problem, target_energy: float, cfg=None,
+                   rel_gap: float = 1e-3, max_sweeps: int = 20000,
+                   chunk_super_steps: int = 5, key=None,
+                   warm: bool = True) -> dict:
+    """Wall-clock until PT's best energy reaches target*(1 - rel_gap)
+    ... i.e. best <= target + rel_gap*|target| (energies are negative).
+
+    Runs the PT super-step executable in chunks, checking the best energy on
+    the host between chunks; `warm=True` pre-runs one chunk first so the
+    reported time excludes XLA compilation (the metric is solver time, not
+    compile time). Returns seconds, sweeps used, and whether the target was
+    hit within max_sweeps."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from spinglass_tpu.anneal import pt as pt_mod
+
+    cfg = cfg or pt_mod.PTConfig(n_replicas=16, exchange_interval=10,
+                                 min_temp=0.1, max_temp=5.0)
+    super_step, betas, engine = pt_mod.make_pt_step(problem, cfg)
+
+    @jax.jit
+    def chunk(state):
+        def body(st, _):
+            st, stats = super_step(st, None)
+            return st, stats["best_energy"]
+
+        state, bests = lax.scan(body, state, None,
+                                length=chunk_super_steps)
+        return state, bests[-1]
+
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    state0 = pt_mod.init_state(problem, cfg, key, engine)
+    if warm:
+        s, b = chunk(state0)
+        jax.block_until_ready(b)
+
+    threshold = target_energy + rel_gap * abs(target_energy)
+    sweeps_per_chunk = chunk_super_steps * cfg.exchange_interval
+    state = state0
+    sweeps = 0
+    t0 = time.perf_counter()
+    best = float("inf")
+    while sweeps < max_sweeps:
+        state, best_d = chunk(state)
+        best = float(best_d)      # host sync once per chunk (~50 sweeps)
+        sweeps += sweeps_per_chunk
+        if best <= threshold:
+            break
+    elapsed = time.perf_counter() - t0
+    return {
+        "seconds": elapsed,
+        "sweeps": sweeps,
+        "best_energy": best,
+        "target_energy": target_energy,
+        "threshold": threshold,
+        "hit": best <= threshold,
+        "n_replicas": cfg.n_replicas,
+        "engine": engine.name,
+    }

@@ -515,6 +515,13 @@ class FusedSweep:
         Returns (spins_t, dE_sum[R], n_accepted[R])."""
         n_pad, r = spins_t.shape
         beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+        if self.interpret:
+            # pltpu.prng_* has no CPU lowering — in interpret mode draw the
+            # uniforms on the host stream instead (a different but equally
+            # valid MC stream; interpret is a correctness/dryrun mode)
+            key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+            u = jax.random.uniform(key, (n_pad, r), jnp.float32)
+            return self.sweep_with_uniforms(spins_t, beta, u)
         mask = jnp.broadcast_to(self.mask_col, (n_pad, r))
         s_t, de, cnt = self._call(r, True)(
             jnp.asarray(seed, jnp.int32)[None],

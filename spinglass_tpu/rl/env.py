@@ -36,6 +36,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 from jax import lax
 
@@ -60,6 +61,12 @@ class EnvConfig:
     max_steps: int = 100
     action_mode: str = "discrete"        # discrete | continuous
     initial_temp: float = 2.0
+    init_temp_range: Optional[Tuple[float, float]] = None  # when set, each
+    # reset draws the starting temperature log-uniformly per env from this
+    # range instead of the fixed initial_temp. A fixed multiplier schedule
+    # cannot adapt to a randomized start; an observation-driven controller
+    # (obs carries log10 T) can — the setting where learned control
+    # demonstrably beats any fixed geometric schedule (rl/evaluate.py)
     min_temp: float = 1e-3
     max_temp: float = 50.0
     update_rule: str = "metropolis"
@@ -101,15 +108,23 @@ def reset(problem: IsingProblem, cfg: EnvConfig, key: jax.Array,
           engine=None) -> Tuple[EnvState, jax.Array]:
     """Fresh trajectories: random spins, initial temperature."""
     b = cfg.n_envs
-    spins = random_spins(key, (b, problem.n_padded), problem.active_mask)
+    k_spins, k_temp = jax.random.split(key)
+    spins = random_spins(k_spins, (b, problem.n_padded), problem.active_mask)
     e = _env_energy(problem, spins, engine)
+    if cfg.init_temp_range is not None:
+        lo, hi = cfg.init_temp_range
+        t0 = jnp.exp(jax.random.uniform(
+            k_temp, (b,), jnp.float32,
+            minval=float(np.log(lo)), maxval=float(np.log(hi))))
+    else:
+        t0 = jnp.full((b,), cfg.initial_temp, jnp.float32)
     state = EnvState(
         spins=spins,
         energy=e,
         best_energy=e,
         initial_energy=e,
         prev_energy=e,
-        temp=jnp.full((b,), cfg.initial_temp, jnp.float32),
+        temp=t0,
         acc_rate=jnp.zeros((b,), jnp.float32),
         step=jnp.zeros((b,), jnp.int32),
         plateau=jnp.zeros((b,), jnp.int32),

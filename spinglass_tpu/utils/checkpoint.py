@@ -67,9 +67,15 @@ def load_pytree(template: Any, path: str) -> Any:
                 if _is_typed_key(v):
                     leaves.append(jax.random.wrap_key_data(
                         jnp.asarray(z[key])))
-                else:
+                elif isinstance(v, (jax.Array,)):
                     leaves.append(jnp.asarray(z[key],
                                               dtype=np.asarray(v).dtype))
+                else:
+                    # host-side leaves (np scalars/arrays, e.g. int64 step
+                    # counters) restore on host — jnp.asarray would silently
+                    # truncate int64 to int32 under jax's default x64=off
+                    leaves.append(np.asarray(z[key],
+                                             dtype=np.asarray(v).dtype))
             return jax.tree_util.tree_unflatten(treedef, leaves)
     ocp = _try_orbax()
     if ocp is None:

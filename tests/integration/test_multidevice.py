@@ -231,6 +231,93 @@ class TestShardedSparse:
                                    rtol=1e-4)
 
 
+class TestShardedPallas:
+    """The fused Pallas kernel under replica sharding (VERDICT.md round-2
+    weak #1). GSPMD cannot partition a pallas_call; pt_sharded must wrap it
+    in shard_map so each device runs the kernel on its local [Np, R/D] tile.
+    On CPU these run the kernel in interpret mode (use_pallas='always')."""
+
+    def test_sharded_pallas_step_runs(self, mesh):
+        from spinglass_tpu.distributed.pt_sharded import ShardedPallasEngine
+
+        p = _problem(64, seed=9)
+        n_dev = mesh.devices.size
+        cfg = PTConfig(n_replicas=2 * n_dev, exchange_interval=2,
+                       sweep_method="blocked", use_pallas="always", seed=1)
+        step, init, betas, engine, sh = pt_sharded.make_sharded_pt_step(
+            p, cfg, mesh)
+        assert isinstance(engine, ShardedPallasEngine)
+        state = init(jax.random.key(0))
+        assert len(state.spins.sharding.device_set) == n_dev
+        for _ in range(2):
+            state, stats = step(state)
+        slots = np.sort(np.asarray(state.slot))
+        np.testing.assert_array_equal(slots, np.arange(cfg.n_replicas))
+        assert np.isfinite(float(stats["best_energy"]))
+        # replica tiles must draw DIFFERENT uniform streams (device index is
+        # folded into the kernel seed): across 2*n_dev replicas at equal
+        # beta, identical streams would leave device tiles bit-identical
+        spins = np.asarray(engine.from_layout(state.spins))
+        tiles = spins.reshape(n_dev, 2, -1)
+        assert not all(
+            np.array_equal(tiles[0], tiles[d]) for d in range(1, n_dev))
+
+    def test_sharded_pallas_decision_identity(self, mesh):
+        """Under the same host uniforms, the shard_map-wrapped kernel makes
+        bitwise-identical flip decisions to the single-device kernel
+        (interpret mode on CPU: exact arithmetic, no MXU-precision noise)."""
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.distributed.pt_sharded import ShardedPallasEngine
+        from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
+
+        p = _problem(64, seed=10)
+        n_dev = mesh.devices.size
+        r = 2 * n_dev
+        fused = FusedSweep(p, block_size=64, interpret=True)
+
+        class _E:
+            pass
+
+        eng = _E()
+        eng.problem = p
+        eng.fused = fused
+        eng.name = "blocked_pallas"
+        sharded = ShardedPallasEngine(eng, mesh)
+
+        k1, k2 = jax.random.split(jax.random.key(3))
+        spins_t = random_spins(k1, (r, p.n_padded), p.active_mask).T
+        u_t = jax.random.uniform(k2, (p.n_padded, r), jnp.float32)
+        beta = jnp.full((r,), 0.7, jnp.float32)
+        s_ref, de_ref, cnt_ref = fused.sweep_with_uniforms(spins_t, beta, u_t)
+        s_sh, de_sh, cnt_sh = sharded.sweep_with_uniforms(spins_t, beta, u_t)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_sh))
+        np.testing.assert_array_equal(np.asarray(cnt_ref), np.asarray(cnt_sh))
+        np.testing.assert_allclose(np.asarray(de_ref), np.asarray(de_sh),
+                                   atol=1e-4)
+
+    def test_sharded_pallas_energy_identity(self, mesh):
+        """E_before + dE == E_after across a sharded kernel-RNG sweep."""
+        from spinglass_tpu.core import energy as energy_ops
+        from spinglass_tpu.distributed.pt_sharded import make_sharded_engine
+
+        p = _problem(64, seed=11)
+        n_dev = mesh.devices.size
+        r = 2 * n_dev
+        cfg = PTConfig(n_replicas=r, sweep_method="blocked",
+                       use_pallas="always")
+        engine = make_sharded_engine(p, cfg, mesh)
+        from spinglass_tpu.core.problem import random_spins
+
+        spins_t = engine.to_layout(
+            random_spins(jax.random.key(4), (r, p.n_padded), p.active_mask))
+        e0 = energy_ops.energy_t(p, spins_t)
+        s1, de, cnt = engine.sweep(spins_t, jnp.full((r,), 0.9, jnp.float32),
+                                   jax.random.key(5))
+        e1 = energy_ops.energy_t(p, s1)
+        np.testing.assert_allclose(np.asarray(e0 + de), np.asarray(e1),
+                                   rtol=1e-4, atol=1e-3)
+
+
 class TestCommunicationBudget:
     """Assertion-style resharding guard (VERDICT.md weak #9): one sharded PT
     super-step must move only O(R) ladder bookkeeping between devices —

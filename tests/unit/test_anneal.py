@@ -326,6 +326,15 @@ class TestCheckpointResume:
         np.testing.assert_allclose(
             np.asarray(res.metadata["exchange_rates"]),
             np.asarray(ref.metadata["exchange_rates"]), atol=1e-6)
+        # the on-disk history was AHEAD of the restored checkpoint (all 8
+        # super-steps recorded, state rolled back to step 2); the resume must
+        # truncate it, not append re-run segments after stale rows
+        assert res.energy_history.shape == ref.energy_history.shape
+        np.testing.assert_allclose(np.asarray(res.energy_history),
+                                   np.asarray(ref.energy_history), rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(res.metadata["slot_trajectory"]),
+            np.asarray(ref.metadata["slot_trajectory"]))
 
 
 class TestMultiChainPT:
