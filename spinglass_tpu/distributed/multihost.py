@@ -39,7 +39,9 @@ def initialize(coordinator_address: Optional[str] = None,
 
     explicit = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
-    already = jax.process_count() > 1
+    # probe WITHOUT touching the backend: jax.process_count() would
+    # initialize XLA, after which jax.distributed.initialize errors out
+    already = jax.distributed.is_initialized()
     if not already and explicit:
         jax.distributed.initialize(
             coordinator_address=explicit,

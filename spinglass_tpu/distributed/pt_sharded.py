@@ -168,8 +168,15 @@ def make_sharded_pt_step(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
         return state, stats
 
     def init(key: Optional[jax.Array] = None) -> PTState:
-        state = pt_mod.init_state(problem, cfg, key, engine)
-        return jax.device_put(state, shardings)
+        key = key if key is not None else jax.random.key(cfg.seed)
+        # jit with out_shardings builds the state directly as global sharded
+        # arrays — required under multi-process (a host-local array cannot be
+        # device_put onto non-addressable devices), and avoids a host
+        # round-trip on single host too
+        init_jit = jax.jit(
+            lambda k: pt_mod.init_state(problem, cfg, k, engine),
+            out_shardings=shardings)
+        return init_jit(key)
 
     return step, init, betas_ladder, engine, shardings
 

@@ -45,8 +45,11 @@ from spinglass_tpu.core.problem import IsingProblem, random_spins
 from spinglass_tpu.kernels import sweeps as sweep_kernels
 from spinglass_tpu.rl import rewards as reward_mod
 
-TEMP_MULTIPLIERS = jnp.asarray(
-    [0.5, 0.7, 0.8, 0.9, 0.95, 1.05, 1.1, 1.25, 1.5, 2.0], jnp.float32)
+# numpy on purpose: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-process workers (it must run before any backend init)
+TEMP_MULTIPLIERS = np.asarray(
+    [0.5, 0.7, 0.8, 0.9, 0.95, 1.05, 1.1, 1.25, 1.5, 2.0], np.float32)
 N_ACTIONS = 10
 OBS_DIM = 16
 
@@ -142,13 +145,13 @@ def _decode_action(cfg: EnvConfig, action) -> Tuple[jax.Array, jax.Array]:
     hybrid (environment.py:88-113 dict action space): a dict with a discrete
     ladder index ``temp_index`` [B] i32 and a continuous ``sweep_frac`` [B]."""
     if cfg.action_mode == "discrete":
-        mult = TEMP_MULTIPLIERS[action]
+        mult = jnp.asarray(TEMP_MULTIPLIERS)[action]
         frac = jnp.ones_like(mult)
     elif cfg.action_mode == "continuous":
         mult = jnp.clip(action[..., 0], 0.5, 2.0)
         frac = jnp.clip(action[..., 1], 0.1, 1.0)
     elif cfg.action_mode == "hybrid":
-        mult = TEMP_MULTIPLIERS[action["temp_index"]]
+        mult = jnp.asarray(TEMP_MULTIPLIERS)[action["temp_index"]]
         frac = jnp.clip(action["sweep_frac"], 0.1, 1.0)
     else:
         raise ValueError(cfg.action_mode)

@@ -8,6 +8,7 @@ from spinglass_tpu.utils.logging import (
 from spinglass_tpu.utils import validation, monitoring, health, checkpoint
 from spinglass_tpu.utils.robust import robust_operation
 from spinglass_tpu.utils import security, cache, profiling
+from spinglass_tpu.utils import enterprise_security
 from spinglass_tpu.utils import anomaly, autoscale, metrics_exporter
 from spinglass_tpu.utils.anomaly import (
     AnomalyDetector, SelfHealingSystem, AdaptiveMonitoringSystem,
