@@ -145,7 +145,7 @@ def bench_sparse():
     coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
                                            dist="gaussian", seed=SEED)
     ell = EllProblem.from_coo(n, *coo)
-    engine = make_engine(ell)
+    engine = make_engine(ell, r_hint=r)
     key = jax.random.key(SEED)
     spins = engine.to_layout(
         random_spins(key, (r, ell.n_padded), ell.active_mask))

@@ -63,6 +63,7 @@ class PTConfig:
     sweep_method: str = "auto"
     block_size: int = 128
     use_pallas: str = "auto"
+    j_dtype: str = "float32"   # bfloat16 halves the fused kernel's J traffic
     record_interval: int = 50
     seed: int = 42
 
@@ -245,7 +246,9 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
         engine = make_engine(problem, sweep_method=cfg.sweep_method,
                              update_rule=cfg.update_rule,
                              block_size=cfg.block_size,
-                             use_pallas=cfg.use_pallas)
+                             use_pallas=cfg.use_pallas,
+                             j_dtype=cfg.j_dtype,
+                             r_hint=cfg.n_replicas * cfg.n_chains)
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)

@@ -52,6 +52,9 @@ class SAConfig:
     convergence_tolerance: float = 1e-6
     enable_early_stop: bool = True
     use_pallas: str = "auto"                 # auto | never | always
+    j_dtype: str = "float32"                 # float32 | bfloat16: dtype J is
+    # streamed at in the fused Pallas kernel (bfloat16 halves its HBM
+    # traffic; fields may differ ~1e-3 rel. — see metropolis_pallas.py)
     seed: int = 42
 
     def __post_init__(self):
@@ -89,6 +92,8 @@ def make_sweep_engine(problem: IsingProblem, config: SAConfig) -> SweepEngine:
         block_size=config.block_size,
         use_pallas=config.use_pallas if config.use_pallas != "never" else "never",
         max_colors=config.max_colors_for_colored,
+        j_dtype=config.j_dtype,
+        r_hint=config.n_replicas,
     )
 
 

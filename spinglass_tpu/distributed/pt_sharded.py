@@ -114,16 +114,80 @@ class ShardedPallasEngine:
         return self._sweep_u_shmap(spins_t, beta, uniforms_t)
 
 
+class ShardedSortedTEngine:
+    """shard_map wrapper for the transposed sparse engine
+    (kernels/sparse.SortedSparseTEngine). Its Pallas threshold-RNG kernel —
+    like any pallas_call — cannot be partitioned by GSPMD, so the whole
+    sweep runs per device on its local [NS, R/D] replica tile (the gathers
+    and slice updates are replica-independent, so per-device execution is
+    exact). Each device folds its mesh position into the RNG key for an
+    independent threshold stream."""
+
+    layout = "nr"
+
+    def __init__(self, engine, mesh: Mesh, axis: str = "replica"):
+        from functools import partial
+
+        from jax import shard_map
+
+        self.problem = engine.problem
+        self.inner = engine
+        self.mesh = mesh
+        self.axis = axis
+        self.name = f"{engine.name}_shmap{mesh.devices.size}"
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, axis), P(axis), P()),
+                 out_specs=(P(None, axis), P(axis), P(axis)),
+                 check_vma=False)
+        def _sweep(spins_t, beta, key):
+            key_d = jax.random.fold_in(key, lax.axis_index(axis))
+            return engine.sweep(spins_t, beta, key_d)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, axis), P(axis), P(None, axis)),
+                 out_specs=(P(None, axis), P(axis), P(axis)),
+                 check_vma=False)
+        def _sweep_u(spins_t, beta, uniforms_t):
+            return engine.sweep_with_uniforms(spins_t, beta, uniforms_t)
+
+        self._sweep_shmap = _sweep
+        self._sweep_u_shmap = _sweep_u
+
+    def to_layout(self, spins_rn):
+        return self.inner.to_layout(spins_rn)
+
+    def from_layout(self, spins_t):
+        return self.inner.from_layout(spins_t)
+
+    def energy(self, spins_t):
+        # pure gathers/reductions — GSPMD partitions these along R as-is
+        return self.inner.energy(spins_t)
+
+    def sweep(self, spins_t, beta, key):
+        return self._sweep_shmap(spins_t, beta, key)
+
+    def sweep_with_uniforms(self, spins_t, beta, uniforms_t):
+        """Host-uniform sweep (sharded-vs-single decision-identity tests)."""
+        return self._sweep_u_shmap(spins_t, beta, uniforms_t)
+
+
 def make_sharded_engine(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
                         axis: str = "replica"):
     """Engine for the sharded PT step: XLA engines partition under GSPMD
-    as-is; the Pallas engine gets the shard_map wrapper."""
+    as-is; the Pallas-kernel engines get shard_map wrappers."""
+    from spinglass_tpu.kernels.sparse import SortedSparseTEngine
+
     engine = make_engine(problem, sweep_method=cfg.sweep_method,
                          update_rule=cfg.update_rule,
                          block_size=cfg.block_size,
-                         use_pallas=cfg.use_pallas)
+                         use_pallas=cfg.use_pallas,
+                         j_dtype=cfg.j_dtype,
+                         r_hint=cfg.n_replicas * cfg.n_chains)
     if isinstance(engine, PallasEngine):
         return ShardedPallasEngine(engine, mesh, axis)
+    if isinstance(engine, SortedSparseTEngine):
+        return ShardedSortedTEngine(engine, mesh, axis)
     return engine
 
 

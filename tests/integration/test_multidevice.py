@@ -231,6 +231,84 @@ class TestShardedSparse:
                                    rtol=1e-4)
 
 
+class TestShardedSparseT:
+    """shard_map wrapper for the transposed sparse engine
+    (pt_sharded.ShardedSortedTEngine): its Pallas threshold kernel cannot be
+    GSPMD-partitioned, so the sweep runs per device on local replica tiles."""
+
+    def _ell(self, n=300, seed=5):
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+                                               dist="gaussian", seed=seed)
+        return EllProblem.from_coo(n, *coo)
+
+    def test_sharded_t_step_runs(self, mesh):
+        from spinglass_tpu.distributed.pt_sharded import ShardedSortedTEngine
+
+        ell = self._ell()
+        n_dev = mesh.devices.size
+        cfg = PTConfig(n_replicas=2 * n_dev, exchange_interval=2,
+                       sweep_method="sparse_t", seed=1)
+        step, init, betas, engine, sh = pt_sharded.make_sharded_pt_step(
+            ell, cfg, mesh)
+        assert isinstance(engine, ShardedSortedTEngine)
+        state = init(jax.random.key(0))
+        assert len(state.spins.sharding.device_set) == n_dev
+        for _ in range(2):
+            state, stats = step(state)
+        slots = np.sort(np.asarray(state.slot))
+        np.testing.assert_array_equal(slots, np.arange(cfg.n_replicas))
+        assert np.isfinite(float(stats["best_energy"]))
+        # device tiles must draw different threshold streams (key fold_in)
+        spins = np.asarray(engine.from_layout(state.spins))
+        tiles = spins.reshape(n_dev, 2, -1)
+        assert not all(
+            np.array_equal(tiles[0], tiles[d]) for d in range(1, n_dev))
+
+    def test_sharded_t_decision_identity(self, mesh):
+        """Same sorted-layout uniforms -> bitwise-identical decisions
+        between the shard_map-wrapped and single-device transposed sweep."""
+        from spinglass_tpu.distributed.pt_sharded import ShardedSortedTEngine
+        from spinglass_tpu.kernels.sparse import SortedSparseTEngine
+
+        ell = self._ell(seed=6)
+        n_dev = mesh.devices.size
+        r = 2 * n_dev
+        inner = SortedSparseTEngine(ell)
+        sharded = ShardedSortedTEngine(inner, mesh)
+        k1, k2 = jax.random.split(jax.random.key(3))
+        spins = jnp.where(jax.random.uniform(k1, (r, ell.n_padded)) < 0.5,
+                          -1.0, 1.0)
+        s_t = inner.to_layout(spins)
+        u_t = jax.random.uniform(k2, (inner.n_sorted, r), jnp.float32)
+        beta = jnp.full((r,), 0.7, jnp.float32)
+        s_ref, de_ref, cnt_ref = inner.sweep_with_uniforms(s_t, beta, u_t)
+        s_sh, de_sh, cnt_sh = sharded.sweep_with_uniforms(s_t, beta, u_t)
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_sh))
+        np.testing.assert_array_equal(np.asarray(cnt_ref),
+                                      np.asarray(cnt_sh))
+        np.testing.assert_allclose(np.asarray(de_ref), np.asarray(de_sh),
+                                   atol=1e-4)
+
+    def test_sharded_t_run_deterministic(self, mesh):
+        """Full sharded run works end-to-end and is seed-deterministic.
+        (Unlike the GSPMD-partitioned engines, the shard_map wrapper folds
+        the device index into the key, so its stream intentionally differs
+        from the single-device run — determinism under a fixed seed is the
+        contract here.)"""
+        ell = self._ell(seed=7)
+        n_dev = mesh.devices.size
+        cfg = PTConfig(n_replicas=2 * n_dev, n_sweeps=40,
+                       exchange_interval=10, sweep_method="sparse_t", seed=4)
+        res1 = pt_sharded.run(ell, cfg, mesh)
+        res2 = pt_sharded.run(ell, cfg, mesh)
+        assert np.isfinite(res1.best_energy)
+        assert res1.best_energy < 0
+        assert res1.best_energy == res2.best_energy
+        np.testing.assert_array_equal(res1.best_spins, res2.best_spins)
+
+
 class TestShardedPallas:
     """The fused Pallas kernel under replica sharding (VERDICT.md round-2
     weak #1). GSPMD cannot partition a pallas_call; pt_sharded must wrap it
