@@ -1,288 +1,50 @@
 """Headline benchmark: spin-flips/sec/chip on spin-glass annealing.
 
-Default (dense): the fused Pallas parallel-tempering-style sweep workload
-(dense SK coupling matrix, replica batch, kernel RNG) as one long jitted
-scan. ``--sparse``: the sorted sliced-ELL sweep on the 10k-spin
-avg-degree-6 instance (the reference's "10k+ variables" headline scale,
-reference README.md:13) with the replica*chain batch sized to fill the chip.
-``--pt10k``: wall-clock of a full 16-replica 10k-spin parallel-tempering run
-(the BASELINE.md sub-second north star).
+Default (--all, implicit): the dense fused-Pallas sweep headline with the
+sparse / pt10k / time-to-target / RL paths in extras, so a regression on
+ANY path is visible in the driver artifact. Individual flags run one path.
 
-Prints ONE JSON line:
+Benchmark bodies live in spinglass_tpu.benchmarks.headline (shared with the
+TPU performance quality gate so both hit the same persistent-compile-cache
+entries). Prints ONE JSON line:
 
     {"metric": "...", "value": ..., "unit": "...", "vs_baseline": ...,
      "extras": {...}}
 
-Baseline: the reference has no published throughput numbers (BASELINE.md).
-Its CPU sweep path does O(N) torch ops + .item() syncs per spin
-(spin_dynamics.py:61-94); measured small-instance runs (breakthrough_
-validation_results.json: 10 spins, ~1k sweeps, 0.053 s) put it near
-2e5 flips/s, and its (unreachable; SURVEY §2.1) CUDA kernel claim was
-"sub-second for 10k+ variables". We use BASELINE_FLIPS = 1e6 flips/s — a
-generous assumed-CPU-reference figure — so vs_baseline is the speedup
-multiple VS THAT ASSUMED CPU BASELINE (label it as such when quoting).
+Baseline: the reference has no published throughput numbers (BASELINE.md);
+vs_baseline for throughput metrics is the multiple of an ASSUMED 1e6
+flips/s CPU reference (label it as such when quoting), and for wall-clock
+metrics the multiple vs the reference's "sub-second for 10k+ variables"
+claim read as 1 s.
 """
 
 import argparse
 import json
-import os
-import time
-
-import numpy as np
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache (works through the axon tunnel —
-    measured 0.67 s -> 0.03 s on a repeat compile), so the driver's
-    default --all run does not re-pay the multi-minute remote compiles
-    every round."""
-    import jax
+    """Opt-in persistent XLA compile cache (SPINGLASS_JAX_CACHE env var).
 
-    cache_dir = os.environ.get("SPINGLASS_JAX_CACHE",
-                               os.path.expanduser("~/.cache/jax_spinglass"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the knobs: benign
+    Off by default: measured on the tunneled v5e, a cache hit on the dense
+    headline program (278 MB serialized executable) takes 365 s wall vs a
+    130 s fresh compile — shipping a big cached executable to the remote
+    device is slower than recompiling from the small HLO. See
+    utils.cache.enable_persistent_compile_cache."""
+    from spinglass_tpu.utils.cache import enable_persistent_compile_cache
 
-
-BASELINE_FLIPS = 1.0e6
-
-N_SPINS = 4096
-N_REPLICAS = 1024
-N_SWEEPS = 2000
-SEED = 42
-
-SPARSE_N = 10_000
-SPARSE_DEG = 6.0
-SPARSE_REPLICAS = 1024   # 64 chains x 16-replica ladders in PT terms
-SPARSE_SWEEPS = 400
-
-
-def _time_best(run, *args, trials=3):
-    import jax
-
-    out = run(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for trial in range(trials):
-        t0 = time.perf_counter()
-        out = run(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def bench_dense():
-    """Dense fused-Pallas sweep throughput (flips/s/chip)."""
-    import jax
-    import jax.numpy as jnp
-
-    from spinglass_tpu.anneal.engines import make_engine
-    from spinglass_tpu.core import topology
-    from spinglass_tpu.core.problem import IsingProblem, random_spins
-
-    n, r = N_SPINS, N_REPLICAS
-    if jax.default_backend() != "tpu":
-        # keep CPU smoke runs tractable
-        n, r, sweeps = 256, 64, 20
-    else:
-        sweeps = N_SWEEPS
-
-    j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
-                                 seed=SEED)
-    problem = IsingProblem.from_dense(j)
-    engine = make_engine(problem, sweep_method="blocked", use_pallas="auto")
-    key = jax.random.key(SEED)
-    spins = engine.to_layout(
-        random_spins(key, (r, problem.n_padded), problem.active_mask))
-    beta = jnp.float32(1.0)
-
-    @jax.jit
-    def run(s, key):
-        def body(carry, k):
-            s, _ = carry
-            s, de, cnt = engine.sweep(s, beta, k)
-            return (s, cnt), None
-        (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
-                                   jax.random.split(key, sweeps))
-        return s, cnt
-
-    best = _time_best(run, spins, jax.random.key(1))
-    flips = sweeps * r * n
-    fps = flips / best
-    # MFU-style accounting: each sweep's local fields cost 2*N^2*R flops on
-    # the MXU (f32-effective), so perf regressions are attributable
-    tflops = 2.0 * n * n * r * sweeps / best / 1e12
-    return {
-        "metric": "spin_flips_per_sec_per_chip",
-        "value": fps,
-        "unit": "flips/s",
-        "vs_baseline": fps / BASELINE_FLIPS,
-        "extras": {"n_spins": n, "n_replicas": r, "n_sweeps": sweeps,
-                   "seconds": best, "effective_tflops_f32": tflops,
-                   "baseline": "assumed 1e6 flips/s CPU reference"},
-    }
-
-
-def bench_sparse():
-    """Sorted sliced-ELL sweep throughput on 10k spins, avg degree 6."""
-    import jax
-    import jax.numpy as jnp
-
-    from spinglass_tpu.anneal.engines import make_engine
-    from spinglass_tpu.core import topology
-    from spinglass_tpu.core.problem import random_spins
-    from spinglass_tpu.kernels.sparse import EllProblem
-
-    n, r = SPARSE_N, SPARSE_REPLICAS
-    if jax.default_backend() != "tpu":
-        n, r, sweeps = 1000, 16, 10
-    else:
-        sweeps = SPARSE_SWEEPS
-
-    coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
-                                           dist="gaussian", seed=SEED)
-    ell = EllProblem.from_coo(n, *coo)
-    engine = make_engine(ell, r_hint=r)
-    key = jax.random.key(SEED)
-    spins = engine.to_layout(
-        random_spins(key, (r, ell.n_padded), ell.active_mask))
-    beta = jnp.float32(1.0)
-
-    @jax.jit
-    def run(s, key):
-        def body(carry, k):
-            s, _ = carry
-            s, de, cnt = engine.sweep(s, beta, k)
-            return (s, cnt), None
-        (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
-                                   jax.random.split(key, sweeps))
-        return s, cnt
-
-    best = _time_best(run, spins, jax.random.key(1))
-    flips = sweeps * r * n
-    fps = flips / best
-    return {
-        "metric": "sparse_spin_flips_per_sec_per_chip",
-        "value": fps,
-        "unit": "flips/s",
-        "vs_baseline": fps / BASELINE_FLIPS,
-        "extras": {"n_spins": n, "avg_degree": SPARSE_DEG, "n_replicas": r,
-                   "n_sweeps": sweeps, "seconds": best,
-                   "engine": engine.name,
-                   "baseline": "assumed 1e6 flips/s CPU reference"},
-    }
-
-
-def bench_pt10k():
-    """Wall-clock of a full 10k-spin 16-replica PT run (sub-second target,
-    BASELINE.md north star / reference README.md:13)."""
-    import jax
-
-    from spinglass_tpu.anneal import pt as pt_mod
-    from spinglass_tpu.core import topology
-    from spinglass_tpu.kernels.sparse import EllProblem
-
-    n = SPARSE_N if jax.default_backend() == "tpu" else 1000
-    sweeps = 1000 if jax.default_backend() == "tpu" else 50
-    coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
-                                           dist="gaussian", seed=SEED)
-    ell = EllProblem.from_coo(n, *coo)
-    cfg = pt_mod.PTConfig(n_replicas=16, n_sweeps=sweeps, seed=SEED)
-    res = pt_mod.run(ell, cfg)             # compile
-    res = pt_mod.run(ell, cfg)             # timed (cached executable)
-    return {
-        "metric": "pt_10k_wall_seconds",
-        "value": res.total_time,
-        "unit": "s",
-        "vs_baseline": 1.0 / max(res.total_time, 1e-9),  # vs 1 s target
-        "extras": {"n_spins": n, "n_replicas": 16, "n_sweeps": sweeps,
-                   "best_energy": res.best_energy,
-                   "flips_per_sec": res.spin_flips_per_second,
-                   "baseline": "reference 'sub-second 10k+' claim = 1 s"},
-    }
-
-
-def bench_rl():
-    """PPO controller training throughput (env steps/s, steady state) —
-    the BASELINE.md 'PPO env-steps/s' north-star metric. The learning-
-    significance proof (trained beats geometric + random, Welch-t) lives in
-    tests/integration/test_rl_learns.py; this records the throughput."""
-    import jax
-
-    from spinglass_tpu.core import topology
-    from spinglass_tpu.core.problem import IsingProblem
-    from spinglass_tpu.rl import ppo as ppo_mod
-    from spinglass_tpu.rl.env import EnvConfig
-
-    on_tpu = jax.default_backend() == "tpu"
-    n = 512 if on_tpu else 64
-    n_envs = 256 if on_tpu else 16
-    n_updates = 12 if on_tpu else 4
-    j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
-                                 seed=SEED)
-    problem = IsingProblem.from_dense(j)
-    env_cfg = EnvConfig(n_envs=n_envs, sweeps_per_step=10, max_steps=50,
-                        init_temp_range=(0.1, 20.0))
-    ppo_cfg = ppo_mod.PPOConfig(n_updates=n_updates, rollout_len=8,
-                                hidden_sizes=(128, 128), seed=SEED)
-    out = ppo_mod.train(problem, env_cfg, ppo_cfg)
-    sps = out["env_steps_per_second"]
-    return {
-        "metric": "ppo_env_steps_per_sec",
-        "value": sps,
-        "unit": "env_steps/s",
-        "vs_baseline": sps * env_cfg.sweeps_per_step * n / BASELINE_FLIPS,
-        "extras": {"n_spins": n, "n_envs": n_envs, "n_updates": n_updates,
-                   "sweeps_per_env_step": env_cfg.sweeps_per_step,
-                   "final_mean_best_energy": out["final_mean_best_energy"],
-                   "baseline": "flips-equivalent vs assumed 1e6 flips/s "
-                               "CPU reference"},
-    }
-
-
-def bench_ttt():
-    """Time-to-target-energy on a 10k-spin planted instance (BASELINE.md:
-    25-28). The planted gauge construction gives an EXACT known ground
-    energy; the metric is wall-clock (compile excluded) for 16-replica PT to
-    reach within 0.1% of it."""
-    import jax
-
-    from spinglass_tpu.anneal import pt as pt_mod
-    from spinglass_tpu.benchmarks import planted
-    from spinglass_tpu.kernels.sparse import EllProblem
-
-    on_tpu = jax.default_backend() == "tpu"
-    n = SPARSE_N if on_tpu else 1000
-    max_sweeps = 20000 if on_tpu else 400
-    inst = planted.planted_gauge_coo(n, avg_degree=SPARSE_DEG, seed=SEED)
-    ell = EllProblem.from_coo(n, inst.rows, inst.cols, inst.vals)
-    cfg = pt_mod.PTConfig(n_replicas=16, exchange_interval=10,
-                          min_temp=0.1, max_temp=5.0, seed=SEED)
-    out = planted.time_to_target(ell, inst.e0, cfg, rel_gap=1e-3,
-                                 max_sweeps=max_sweeps)
-    return {
-        "metric": "time_to_target_seconds",
-        "value": out["seconds"],
-        "unit": "s",
-        # vs the reference's 'sub-second for 10k+ variables' claim = 1 s
-        "vs_baseline": 1.0 / max(out["seconds"], 1e-9),
-        "extras": {"n_spins": n, "target_energy": out["target_energy"],
-                   "best_energy": out["best_energy"], "hit": out["hit"],
-                   "sweeps": out["sweeps"], "engine": out["engine"],
-                   "rel_gap": 1e-3,
-                   "baseline": "reference 'sub-second 10k+' claim = 1 s"},
-    }
+    enable_persistent_compile_cache()
 
 
 def _run_all():
-    """Dense headline + sparse/pt10k/rl in extras (VERDICT.md r2 item 5:
+    """Dense headline + sparse/pt10k/ttt/rl in extras (VERDICT.md r2 item 5:
     regressions on ANY path must be visible in the driver artifact)."""
-    dense = bench_dense()
-    for name, fn in (("sparse", bench_sparse), ("pt10k", bench_pt10k),
-                     ("ttt", bench_ttt), ("rl", bench_rl)):
+    from spinglass_tpu.benchmarks import headline
+
+    dense = headline.bench_dense()
+    for name, fn in (("sparse", headline.bench_sparse),
+                     ("pt10k", headline.bench_pt10k),
+                     ("ttt", headline.bench_ttt),
+                     ("rl", headline.bench_rl)):
         try:
             sub = fn()
             dense["extras"][name] = {k: sub[k] for k in
@@ -311,16 +73,18 @@ def main():
     args = ap.parse_args()
     _enable_compile_cache()
 
+    from spinglass_tpu.benchmarks import headline
+
     if args.sparse:
-        print(json.dumps(bench_sparse()))
+        print(json.dumps(headline.bench_sparse()))
     elif args.pt10k:
-        print(json.dumps(bench_pt10k()))
+        print(json.dumps(headline.bench_pt10k()))
     elif args.rl:
-        print(json.dumps(bench_rl()))
+        print(json.dumps(headline.bench_rl()))
     elif args.ttt:
-        print(json.dumps(bench_ttt()))
+        print(json.dumps(headline.bench_ttt()))
     elif args.dense:
-        print(json.dumps(bench_dense()))
+        print(json.dumps(headline.bench_dense()))
     else:
         print(json.dumps(_run_all()))
 

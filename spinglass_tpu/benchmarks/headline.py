@@ -1,0 +1,249 @@
+"""Headline benchmark bodies shared by bench.py (the driver artifact) and
+the quality gates.
+
+Keeping one implementation matters beyond DRY: through the axon tunnel a
+fresh Pallas-kernel compile can take minutes, but identical jitted programs
+hit the persistent compilation cache (utils.cache.
+enable_persistent_compile_cache) — so the TPU performance gate reuses the
+exact executable the headline bench compiled, and vice versa.
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md).
+Its CPU sweep path does O(N) torch ops + .item() syncs per spin
+(spin_dynamics.py:61-94); measured small-instance runs put it near 2e5
+flips/s. BASELINE_FLIPS = 1e6 flips/s is a generous assumed-CPU-reference
+figure; vs_baseline fields are speedups VS THAT ASSUMED BASELINE."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+BASELINE_FLIPS = 1.0e6
+
+N_SPINS = 4096
+N_REPLICAS = 1024
+N_SWEEPS = 2000
+SEED = 42
+
+SPARSE_N = 10_000
+SPARSE_DEG = 6.0
+SPARSE_REPLICAS = 1024   # 64 chains x 16-replica ladders in PT terms
+SPARSE_SWEEPS = 400
+
+
+def _time_best(run, *args, trials=3):
+    import jax
+
+    out = run(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = run(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_dense():
+    """Dense fused-Pallas sweep throughput (flips/s/chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spinglass_tpu.anneal.engines import make_engine
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem, random_spins
+
+    n, r = N_SPINS, N_REPLICAS
+    if jax.default_backend() != "tpu":
+        # keep CPU smoke runs tractable
+        n, r, sweeps = 256, 64, 20
+    else:
+        sweeps = N_SWEEPS
+
+    j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
+                                 seed=SEED)
+    problem = IsingProblem.from_dense(j)
+    engine = make_engine(problem, sweep_method="blocked", use_pallas="auto")
+    key = jax.random.key(SEED)
+    spins = engine.to_layout(
+        random_spins(key, (r, problem.n_padded), problem.active_mask))
+    beta = jnp.float32(1.0)
+
+    @jax.jit
+    def run(s, key):
+        def body(carry, k):
+            s, _ = carry
+            s, de, cnt = engine.sweep(s, beta, k)
+            return (s, cnt), None
+        (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
+                                   jax.random.split(key, sweeps))
+        return s, cnt
+
+    best = _time_best(run, spins, jax.random.key(1))
+    flips = sweeps * r * n
+    fps = flips / best
+    # MFU-style accounting: each sweep's local fields cost 2*N^2*R flops on
+    # the MXU (f32-effective), so perf regressions are attributable
+    tflops = 2.0 * n * n * r * sweeps / best / 1e12
+    return {
+        "metric": "spin_flips_per_sec_per_chip",
+        "value": fps,
+        "unit": "flips/s",
+        "vs_baseline": fps / BASELINE_FLIPS,
+        "extras": {"n_spins": n, "n_replicas": r, "n_sweeps": sweeps,
+                   "seconds": best, "effective_tflops_f32": tflops,
+                   "baseline": "assumed 1e6 flips/s CPU reference"},
+    }
+
+
+def bench_sparse():
+    """Sorted sliced-ELL sweep throughput on 10k spins, avg degree 6."""
+    import jax
+    import jax.numpy as jnp
+
+    from spinglass_tpu.anneal.engines import make_engine
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import random_spins
+    from spinglass_tpu.kernels.sparse import EllProblem
+
+    n, r = SPARSE_N, SPARSE_REPLICAS
+    if jax.default_backend() != "tpu":
+        n, r, sweeps = 1000, 16, 10
+    else:
+        sweeps = SPARSE_SWEEPS
+
+    coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
+                                           dist="gaussian", seed=SEED)
+    ell = EllProblem.from_coo(n, *coo)
+    engine = make_engine(ell, r_hint=r)
+    key = jax.random.key(SEED)
+    spins = engine.to_layout(
+        random_spins(key, (r, ell.n_padded), ell.active_mask))
+    beta = jnp.float32(1.0)
+
+    @jax.jit
+    def run(s, key):
+        def body(carry, k):
+            s, _ = carry
+            s, de, cnt = engine.sweep(s, beta, k)
+            return (s, cnt), None
+        (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
+                                   jax.random.split(key, sweeps))
+        return s, cnt
+
+    best = _time_best(run, spins, jax.random.key(1))
+    flips = sweeps * r * n
+    fps = flips / best
+    return {
+        "metric": "sparse_spin_flips_per_sec_per_chip",
+        "value": fps,
+        "unit": "flips/s",
+        "vs_baseline": fps / BASELINE_FLIPS,
+        "extras": {"n_spins": n, "avg_degree": SPARSE_DEG, "n_replicas": r,
+                   "n_sweeps": sweeps, "seconds": best,
+                   "engine": engine.name,
+                   "baseline": "assumed 1e6 flips/s CPU reference"},
+    }
+
+
+def bench_pt10k():
+    """Wall-clock of a full 10k-spin 16-replica PT run (sub-second target,
+    BASELINE.md north star / reference README.md:13)."""
+    import jax
+
+    from spinglass_tpu.anneal import pt as pt_mod
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.kernels.sparse import EllProblem
+
+    n = SPARSE_N if jax.default_backend() == "tpu" else 1000
+    sweeps = 1000 if jax.default_backend() == "tpu" else 50
+    coo = topology.sparse_random_graph_coo(n, avg_degree=SPARSE_DEG,
+                                           dist="gaussian", seed=SEED)
+    ell = EllProblem.from_coo(n, *coo)
+    cfg = pt_mod.PTConfig(n_replicas=16, n_sweeps=sweeps, seed=SEED)
+    res = pt_mod.run(ell, cfg)             # compile
+    res = pt_mod.run(ell, cfg)             # timed (cached executable)
+    return {
+        "metric": "pt_10k_wall_seconds",
+        "value": res.total_time,
+        "unit": "s",
+        "vs_baseline": 1.0 / max(res.total_time, 1e-9),  # vs 1 s target
+        "extras": {"n_spins": n, "n_replicas": 16, "n_sweeps": sweeps,
+                   "best_energy": res.best_energy,
+                   "flips_per_sec": res.spin_flips_per_second,
+                   "baseline": "reference 'sub-second 10k+' claim = 1 s"},
+    }
+
+
+def bench_rl():
+    """PPO controller training throughput (env steps/s, steady state) —
+    the BASELINE.md 'PPO env-steps/s' north-star metric. The learning-
+    significance proof (trained beats geometric + random, Welch-t) lives in
+    tests/integration/test_rl_learns.py; this records the throughput."""
+    import jax
+
+    from spinglass_tpu.core import topology
+    from spinglass_tpu.core.problem import IsingProblem
+    from spinglass_tpu.rl import ppo as ppo_mod
+    from spinglass_tpu.rl.env import EnvConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = 512 if on_tpu else 64
+    n_envs = 256 if on_tpu else 16
+    n_updates = 12 if on_tpu else 4
+    j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
+                                 seed=SEED)
+    problem = IsingProblem.from_dense(j)
+    env_cfg = EnvConfig(n_envs=n_envs, sweeps_per_step=10, max_steps=50,
+                        init_temp_range=(0.1, 20.0))
+    ppo_cfg = ppo_mod.PPOConfig(n_updates=n_updates, rollout_len=8,
+                                hidden_sizes=(128, 128), seed=SEED)
+    out = ppo_mod.train(problem, env_cfg, ppo_cfg)
+    sps = out["env_steps_per_second"]
+    return {
+        "metric": "ppo_env_steps_per_sec",
+        "value": sps,
+        "unit": "env_steps/s",
+        "vs_baseline": sps * env_cfg.sweeps_per_step * n / BASELINE_FLIPS,
+        "extras": {"n_spins": n, "n_envs": n_envs, "n_updates": n_updates,
+                   "sweeps_per_env_step": env_cfg.sweeps_per_step,
+                   "final_mean_best_energy": out["final_mean_best_energy"],
+                   "baseline": "flips-equivalent vs assumed 1e6 flips/s "
+                               "CPU reference"},
+    }
+
+
+def bench_ttt():
+    """Time-to-target-energy on a 10k-spin planted instance (BASELINE.md:
+    25-28). The planted gauge construction gives an EXACT known ground
+    energy; the metric is wall-clock (compile excluded) for 16-replica PT to
+    reach within 0.1% of it."""
+    import jax
+
+    from spinglass_tpu.anneal import pt as pt_mod
+    from spinglass_tpu.benchmarks import planted
+    from spinglass_tpu.kernels.sparse import EllProblem
+
+    on_tpu = jax.default_backend() == "tpu"
+    n = SPARSE_N if on_tpu else 1000
+    max_sweeps = 20000 if on_tpu else 400
+    inst = planted.planted_gauge_coo(n, avg_degree=SPARSE_DEG, seed=SEED)
+    ell = EllProblem.from_coo(n, inst.rows, inst.cols, inst.vals)
+    cfg = pt_mod.PTConfig(n_replicas=16, exchange_interval=10,
+                          min_temp=0.1, max_temp=5.0, seed=SEED)
+    out = planted.time_to_target(ell, inst.e0, cfg, rel_gap=1e-3,
+                                 max_sweeps=max_sweeps)
+    return {
+        "metric": "time_to_target_seconds",
+        "value": out["seconds"],
+        "unit": "s",
+        # vs the reference's 'sub-second for 10k+ variables' claim = 1 s
+        "vs_baseline": 1.0 / max(out["seconds"], 1e-9),
+        "extras": {"n_spins": n, "target_energy": out["target_energy"],
+                   "best_energy": out["best_energy"], "hit": out["hit"],
+                   "sweeps": out["sweeps"], "engine": out["engine"],
+                   "rel_gap": 1e-3,
+                   "baseline": "reference 'sub-second 10k+' claim = 1 s"},
+    }

@@ -103,23 +103,46 @@ def _gate_solution_quality() -> GateResult:
                       f"FM ground state {res.best_energy} vs {target}")
 
 
-def _gate_performance_smoke(min_flips: float = 1e5) -> GateResult:
+def _gate_performance_smoke(min_flips: float = 0.0) -> GateResult:
+    """Backend-aware throughput gate (VERDICT.md r2 weak #8: the old fixed
+    1e5-flips/s smoke could not catch even a 100x TPU regression).
+
+    On TPU the gate runs the HEADLINE dense benchmark (benchmarks/headline.
+    bench_dense — the same program bench.py measures; ~130 s wall including
+    the compile on the tunneled v5e) and requires >= 1e9 flips/s — an order
+    of magnitude under the measured ~10e9 headline, so it trips on any
+    order-of-magnitude regression while tolerating chip/load variance.
+    On CPU it stays a smoke test (1e5) since CI machine speed is unknown."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from spinglass_tpu.benchmarks import headline
+
+        gate = min_flips or 1e9
+        res = headline.bench_dense()
+        fps = res["value"]
+        ok = fps >= gate
+        return GateResult("performance_smoke", bool(ok),
+                          f"{fps:.3g} flips/s (gate {gate:.0g}, backend "
+                          f"tpu, headline dense shape)")
+
     from spinglass_tpu.anneal.sa import SAConfig, anneal
     from spinglass_tpu.core import topology
     from spinglass_tpu.core.problem import IsingProblem
 
-    n = 64
+    n, r, sweeps, gate = 64, 16, 200, (min_flips or 1e5)
     j = topology.fully_connected(n, dist="gaussian", scale=1 / np.sqrt(n),
                                  seed=2)
     p = IsingProblem.from_dense(j)
-    cfg = SAConfig(n_sweeps=200, n_replicas=16, enable_early_stop=False,
+    cfg = SAConfig(n_sweeps=sweeps, n_replicas=r, enable_early_stop=False,
                    seed=0)
     anneal(p, cfg)                      # compile
     res = anneal(p, cfg)                # cached executable
-    ok = res.spin_flips_per_second >= min_flips
+    ok = res.spin_flips_per_second >= gate
     return GateResult("performance_smoke", bool(ok),
                       f"{res.spin_flips_per_second:.3g} flips/s "
-                      f"(gate {min_flips:.0g})")
+                      f"(gate {gate:.0g}, backend cpu, n={n} r={r})")
 
 
 def _gate_security() -> GateResult:

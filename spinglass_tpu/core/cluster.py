@@ -11,9 +11,10 @@ evaluated as one batched contraction per BFS step. The grown cluster flips
 as a whole — rejection-free and ergodicity-preserving (standard Wolff), which
 beats single-spin Metropolis near criticality.
 
-Note: the inner contraction materializes [R, N, N] per BFS step, so this is
-a sampling-studies tool for moderate N (like the reference's), not the
-optimization hot path."""
+The dense BFS step's join-probability sum factors into two [R, N] x [N, N]
+matmuls (max(J_ij s_i s_j, 0) = |J|_ij/2 + s_i s_j J_ij/2 for unit spins),
+so per-step cost is O(R N) memory and MXU flops — no [R, N, N]
+materialization; large sparse instances use the ELL variants below."""
 
 from __future__ import annotations
 
@@ -48,14 +49,20 @@ def wolff_update(problem: IsingProblem, spins: jax.Array, beta: jax.Array,
         _, frontier, _, it = carry
         return (it < n_pad) & jnp.any(frontier)
 
+    j32 = problem.j.astype(jnp.float32)
+    jabs = jnp.abs(j32)
+
     def body(carry):
         cluster, frontier, key, it = carry
         key, ku = jax.random.split(key)
-        # T[r, i, j] = frontier_i * J_ij * s_i * s_j ; join-log = -2b sum max(T,0)
-        fs = jnp.where(frontier, spins, 0.0)                       # [R, Np]
-        t = (fs[:, :, None] * problem.j[None, :, :].astype(jnp.float32)
-             * spins[:, None, :])
-        bond_sum = jnp.sum(jnp.maximum(t, 0.0), axis=1)            # [R, Np]
+        # bond_sum[r, j] = sum_i frontier_i * max(J_ij s_i s_j, 0). Using
+        # s_i s_j in {-1, +1}: max(J_ij s_i s_j, 0) = |J|_ij/2 + s_i s_j
+        # J_ij/2, so the sum factors into two [R, N] x [N, N] matmuls —
+        # O(R N) memory and MXU work instead of a [R, N, N] elementwise
+        # materialization (VERDICT.md r2 weak #7).
+        fmask = frontier.astype(jnp.float32)                       # [R, Np]
+        fs = fmask * spins
+        bond_sum = 0.5 * (fmask @ jabs) + 0.5 * spins * (fs @ j32)
         p_join = 1.0 - jnp.exp(-2.0 * beta[:, None] * bond_sum)
         u = jax.random.uniform(ku, (r, n_pad))
         newly = (u < p_join) & ~cluster & active[None, :]

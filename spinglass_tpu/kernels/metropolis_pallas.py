@@ -150,11 +150,18 @@ def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision,
                 sblk[jj:jj + 1, :] = row + ds
                 dsb[jj:jj + 1, :] = ds
                 fb[jj:jj + 1, :] = f
-                # immediate correction, micro-block rows only ([C, R]);
+                # immediate correction from the sublane-aligned floor of the
+                # current row to the end of the micro-block. Rows < start are
+                # already decided and their ht is never read again, so
+                # skipping them is exact; starting at the 8-row floor keeps
+                # the slice sublane-aligned (correcting jj+1:hi measures
+                # SLOWER — misaligned slices cost more than the saved rows;
+                # aligned-floor start measures ~3% faster than lo:hi:
+                # 391.7 -> 381.7 us/sweep at N=4096 R=1024 on v5e).
                 # jbb symmetric → column jj == row jj; jbb[jj, jj] == 0.
-                # (Correcting only the future rows jj+1:hi measures SLOWER —
-                # sublane-misaligned slices cost more than the saved rows.)
-                ht[lo:hi, :] = ht[lo:hi, :] + jbb_ref[lo:hi, jj:jj + 1] * ds
+                start = lo + (j // 8) * 8
+                ht[start:hi, :] = (ht[start:hi, :]
+                                   + jbb_ref[start:hi, jj:jj + 1] * ds)
             # delayed update: propagate the micro-block's flips to the whole
             # block in one MXU pass (diagonal C-blocks zeroed in jbb_od)
             ht[:] = ht[:] + jnp.dot(jbb_od_ref[:, lo:hi], dsb[lo:hi, :],
@@ -279,8 +286,10 @@ def _make_kernel_pipe(rule: str, block_size: int, kernel_rng: bool, precision,
                     sblk[jj:jj + 1, :] = row + ds
                     dsb[jj:jj + 1, :] = ds
                     fb[jj:jj + 1, :] = f
-                    ht[lo:hi, :] = (ht[lo:hi, :]
-                                    + jbb_ref[lo:hi, jj:jj + 1] * ds)
+                    # aligned-floor immediate correction (see _make_kernel)
+                    start = lo + (j // 8) * 8
+                    ht[start:hi, :] = (ht[start:hi, :]
+                                       + jbb_ref[start:hi, jj:jj + 1] * ds)
                 ht[:] = ht[:] + jnp.dot(jbb_od_ref[:, lo:hi], dsb[lo:hi, :],
                                         preferred_element_type=jnp.float32,
                                         precision=prec)
