@@ -20,6 +20,16 @@ claim read as 1 s.
 
 import argparse
 import json
+import os
+import subprocess
+import sys
+
+# Per-path wall budget for --all. Through the tunnel, a single remote
+# compile occasionally stalls for 10+ minutes (measured: the same ttt
+# program compiled in ~90 s on one run and never finished within 590 s on
+# the next); a bounded subprocess turns such a stall into a recorded error
+# instead of hanging the whole artifact run.
+PATH_TIMEOUT_S = int(os.environ.get("SPINGLASS_BENCH_TIMEOUT", "480"))
 
 
 def _enable_compile_cache():
@@ -35,23 +45,48 @@ def _enable_compile_cache():
     enable_persistent_compile_cache()
 
 
+def _run_path_subprocess(flag: str) -> dict:
+    """Run one bench path in a bounded subprocess and parse its JSON line.
+    Isolation bounds tunnel compile stalls AND TPU-worker crashes to the
+    one path (each subprocess gets a fresh backend)."""
+    self_path = os.path.abspath(globals().get("__file__", "bench.py"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, self_path, flag],
+            capture_output=True, text=True, timeout=PATH_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {PATH_TIMEOUT_S}s"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"error": f"exit {proc.returncode}: "
+                     + " | ".join(tail[-3:])[:500]}
+
+
 def _run_all():
     """Dense headline + sparse/pt10k/ttt/rl in extras (VERDICT.md r2 item 5:
-    regressions on ANY path must be visible in the driver artifact)."""
-    from spinglass_tpu.benchmarks import headline
-
-    dense = headline.bench_dense()
-    for name, fn in (("sparse", headline.bench_sparse),
-                     ("pt10k", headline.bench_pt10k),
-                     ("ttt", headline.bench_ttt),
-                     ("rl", headline.bench_rl)):
-        try:
-            sub = fn()
+    regressions on ANY path must be visible in the driver artifact). Each
+    path runs in its own time-bounded subprocess."""
+    dense = _run_path_subprocess("--dense")
+    if "error" in dense:
+        dense = {"metric": "spin_flips_per_sec_per_chip", "value": 0.0,
+                 "unit": "flips/s", "vs_baseline": 0.0,
+                 "extras": {"error": dense["error"]}}
+    dense.setdefault("extras", {})
+    for name, flag in (("sparse", "--sparse"), ("pt10k", "--pt10k"),
+                       ("ttt", "--ttt"), ("rl", "--rl")):
+        sub = _run_path_subprocess(flag)
+        if "error" in sub:
+            dense["extras"][name] = sub
+        else:
             dense["extras"][name] = {k: sub[k] for k in
                                      ("metric", "value", "unit")}
-            dense["extras"][name].update(sub["extras"])
-        except Exception as e:  # one path failing must not hide the rest
-            dense["extras"][name] = {"error": f"{type(e).__name__}: {e}"}
+            dense["extras"][name].update(sub.get("extras", {}))
     return dense
 
 
@@ -71,6 +106,16 @@ def main():
                     help="(default) run all benches; dense headline with "
                          "the others in extras")
     args = ap.parse_args()
+    # honor JAX_PLATFORMS=cpu even where a sitecustomize sets the platform
+    # programmatically (required for the env var to reach the --all
+    # subprocesses on CPU smoke runs)
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     _enable_compile_cache()
 
     from spinglass_tpu.benchmarks import headline

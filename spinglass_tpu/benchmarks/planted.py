@@ -92,11 +92,17 @@ def time_to_target(problem, target_energy: float, cfg=None,
     """Wall-clock until PT's best energy reaches target*(1 - rel_gap)
     ... i.e. best <= target + rel_gap*|target| (energies are negative).
 
-    Runs the PT super-step executable in chunks, checking the best energy on
-    the host between chunks; `warm=True` pre-runs one chunk first so the
-    reported time excludes XLA compilation (the metric is solver time, not
-    compile time). Returns seconds, sweeps used, and whether the target was
-    hit within max_sweeps."""
+    The whole solve is ONE device-side ``lax.while_loop`` over super-steps
+    with the target check inside jit — a single dispatch. (The original
+    host-chunked loop synced every ``chunk_super_steps`` super-steps; via
+    the tunneled v5e each chunk paid ~1 s of dispatch/sync overhead against
+    ~16 ms of compute, stretching a ~6 s solve past 10 minutes. Per-super-
+    step checking on device is also strictly finer-grained.)
+    ``warm=True`` pre-runs the solve once so the reported time excludes XLA
+    compilation (the metric is solver time, not compile time).
+    ``chunk_super_steps`` is kept for API compatibility but unused.
+    Returns seconds, sweeps used, and whether the target was hit within
+    max_sweeps."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -106,40 +112,40 @@ def time_to_target(problem, target_energy: float, cfg=None,
     cfg = cfg or pt_mod.PTConfig(n_replicas=16, exchange_interval=10,
                                  min_temp=0.1, max_temp=5.0)
     super_step, betas, engine = pt_mod.make_pt_step(problem, cfg)
+    threshold = target_energy + rel_gap * abs(target_energy)
+    max_super = max(1, max_sweeps // cfg.exchange_interval)
 
     @jax.jit
-    def chunk(state):
-        def body(st, _):
-            st, stats = super_step(st, None)
-            return st, stats["best_energy"]
+    def solve(state):
+        def cond(carry):
+            _, n_super, best = carry
+            return (best > threshold) & (n_super < max_super)
 
-        state, bests = lax.scan(body, state, None,
-                                length=chunk_super_steps)
-        return state, bests[-1]
+        def body(carry):
+            st, n_super, best = carry
+            st, stats = super_step(st, None)
+            return (st, n_super + 1,
+                    jnp.minimum(best, stats["best_energy"]))
+
+        _, n_super, best = lax.while_loop(
+            cond, body, (state, jnp.int32(0), jnp.float32(jnp.inf)))
+        return n_super, best
 
     if key is None:
         key = jax.random.key(cfg.seed)
     state0 = pt_mod.init_state(problem, cfg, key, engine)
     if warm:
-        s, b = chunk(state0)
-        jax.block_until_ready(b)
+        out = solve(state0)
+        jax.block_until_ready(out)
 
-    threshold = target_energy + rel_gap * abs(target_energy)
-    sweeps_per_chunk = chunk_super_steps * cfg.exchange_interval
-    state = state0
-    sweeps = 0
     t0 = time.perf_counter()
-    best = float("inf")
-    while sweeps < max_sweeps:
-        state, best_d = chunk(state)
-        best = float(best_d)      # host sync once per chunk (~50 sweeps)
-        sweeps += sweeps_per_chunk
-        if best <= threshold:
-            break
+    n_super, best_d = solve(state0)
+    jax.block_until_ready(best_d)
     elapsed = time.perf_counter() - t0
+    best = float(best_d)
     return {
         "seconds": elapsed,
-        "sweeps": sweeps,
+        "sweeps": int(n_super) * cfg.exchange_interval,
         "best_energy": best,
         "target_energy": target_energy,
         "threshold": threshold,
