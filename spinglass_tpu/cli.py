@@ -88,10 +88,15 @@ def _make_problem(problem: str, size: int, seed: int):
               help="periodic state checkpoints; with --resume continues a "
                    "killed run exactly")
 @click.option("--resume", is_flag=True)
+@click.option("--sweep-method", default="auto",
+              type=click.Choice(["auto", "colored", "blocked", "sparse",
+                                 "sparse_t", "sparse_compact"]),
+              help="sweep engine override (auto picks by problem shape, "
+                   "backend, and replica count)")
 @click.option("--quiet", is_flag=True)
 def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
           tune_ladder, exchange_method, chains, cluster_moves,
-          checkpoint_dir, resume, quiet):
+          checkpoint_dir, resume, sweep_method, quiet):
     """Solve a randomly generated problem instance (reference cli.py:42-155)."""
     from spinglass_tpu.anneal import pt as pt_mod
     from spinglass_tpu.anneal.sa import SAConfig
@@ -104,6 +109,7 @@ def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
                            schedule_type=ScheduleType(schedule),
                            initial_temp=5.0, final_temp=0.01,
                            total_sweeps=sweeps),
+                       sweep_method=sweep_method,
                        seed=seed)
         sol = template.solve(cfg, checkpoint_dir=checkpoint_dir,
                              resume=resume)
@@ -111,6 +117,7 @@ def solve(problem, size, algorithm, sweeps, replicas, schedule, seed, output,
         template.encode_to_ising()
         cfg = pt_mod.PTConfig(n_replicas=replicas, n_sweeps=sweeps, seed=seed,
                               exchange_method=exchange_method,
+                              sweep_method=sweep_method,
                               n_chains=chains, cluster_moves=cluster_moves)
         ladder = None
         if tune_ladder:
