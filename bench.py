@@ -1,12 +1,15 @@
 """Headline benchmark: spin-flips/sec/chip on spin-glass annealing.
 
 Default (--all, implicit): the dense fused-Pallas sweep headline with the
-sparse / pt10k / time-to-target / RL paths in extras, so a regression on
+pt10k / time-to-target / sparse / RL paths in extras, so a regression on
 ANY path is visible in the driver artifact. Individual flags run one path.
+The combined JSON line is re-printed (flushed) after every path under a
+TOTAL wall budget (SPINGLASS_BENCH_TOTAL, default 420 s) — the driver
+parses the LAST line, so a timeout degrades to "paths completed so far".
 
-Benchmark bodies live in spinglass_tpu.benchmarks.headline (shared with the
-TPU performance quality gate so both hit the same persistent-compile-cache
-entries). Prints ONE JSON line:
+Benchmark bodies live in spinglass_tpu.benchmarks.headline (shared with
+the TPU performance quality gate for identical shapes/consistent numbers).
+Prints JSON lines; the last one is:
 
     {"metric": "...", "value": ..., "unit": "...", "vs_baseline": ...,
      "extras": {...}}
@@ -23,6 +26,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 # Per-path wall budget for --all. Through the tunnel, a single remote
 # compile occasionally stalls for 10+ minutes (measured: the same ttt
@@ -30,6 +34,18 @@ import sys
 # the next); a bounded subprocess turns such a stall into a recorded error
 # instead of hanging the whole artifact run.
 PATH_TIMEOUT_S = int(os.environ.get("SPINGLASS_BENCH_TIMEOUT", "480"))
+
+# TOTAL wall budget for --all. Round 3's artifact was `parsed: null`
+# because five sequential subprocesses (each paying a fresh multi-minute
+# tunnel compile) exceeded the driver's timeout with nothing printed.
+# Now the dense headline gets up to the whole budget, each later path only
+# runs with whatever budget remains, and the combined JSON line is
+# re-printed (flushed) after EVERY path — so a kill at any point degrades
+# to "paths completed so far" instead of nothing.
+TOTAL_BUDGET_S = int(os.environ.get("SPINGLASS_BENCH_TOTAL", "420"))
+# Don't start a path with less than this much budget left (a tunnel
+# process needs ~30 s just for imports + device acquisition).
+MIN_PATH_S = 60
 
 
 def _enable_compile_cache():
@@ -45,7 +61,7 @@ def _enable_compile_cache():
     enable_persistent_compile_cache()
 
 
-def _run_path_subprocess(flag: str) -> dict:
+def _run_path_subprocess(flag: str, timeout_s: float) -> dict:
     """Run one bench path in a bounded subprocess and parse its JSON line.
     Isolation bounds tunnel compile stalls AND TPU-worker crashes to the
     one path (each subprocess gets a fresh backend)."""
@@ -53,9 +69,9 @@ def _run_path_subprocess(flag: str) -> dict:
     try:
         proc = subprocess.run(
             [sys.executable, self_path, flag],
-            capture_output=True, text=True, timeout=PATH_TIMEOUT_S)
+            capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {PATH_TIMEOUT_S}s"}
+        return {"error": f"timeout after {timeout_s:.0f}s"}
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -68,25 +84,64 @@ def _run_path_subprocess(flag: str) -> dict:
                      + " | ".join(tail[-3:])[:500]}
 
 
+def _emit(result: dict) -> None:
+    """Print (flushed) one JSON line NOW. The driver takes the LAST
+    parseable stdout line, so re-emitting the combined result after every
+    path means a timeout at any point records everything finished so far
+    instead of nothing (BENCH_r03 was rc=124, tail="", parsed=null)."""
+    print(json.dumps(result), flush=True)
+
+
 def _run_all():
-    """Dense headline + sparse/pt10k/ttt/rl in extras (VERDICT.md r2 item 5:
-    regressions on ANY path must be visible in the driver artifact). Each
-    path runs in its own time-bounded subprocess."""
-    dense = _run_path_subprocess("--dense")
-    if "error" in dense:
-        dense = {"metric": "spin_flips_per_sec_per_chip", "value": 0.0,
-                 "unit": "flips/s", "vs_baseline": 0.0,
-                 "extras": {"error": dense["error"]}}
+    """Dense headline + pt10k/ttt/sparse/rl in extras (VERDICT.md r2 item 5:
+    regressions on ANY path must be visible in the driver artifact).
+
+    Budgeting (VERDICT.md r3 item 1): dense gets up to the whole
+    TOTAL_BUDGET_S; each later path runs only with the budget that
+    remains, else records "skipped: budget exhausted". Paths after dense
+    are ordered cheapest-compile-first (pt10k/ttt compile 16-replica PT
+    programs ~2-4 min wall through the tunnel; sparse compiles the
+    R=1024 SortedSparseT engine, measured ~7-11 min wall in a degraded
+    tunnel session; rl compiles the PPO train step). The combined line is
+    re-emitted after every path."""
+    t0 = time.monotonic()
+
+    def remaining():
+        return TOTAL_BUDGET_S - (time.monotonic() - t0)
+
+    # Parseable from second zero: a driver timeout during the dense path
+    # now records an explicit in-progress artifact instead of parsed=null.
+    dense = {"metric": "spin_flips_per_sec_per_chip", "value": 0.0,
+             "unit": "flips/s", "vs_baseline": 0.0,
+             "extras": {"error": "in progress: dense path still running"}}
+    _emit(dense)
+
+    got = _run_path_subprocess(
+        "--dense", max(MIN_PATH_S, min(PATH_TIMEOUT_S, remaining())))
+    if "error" not in got:
+        dense = got
+    else:
+        dense["extras"] = {"error": got["error"]}
     dense.setdefault("extras", {})
-    for name, flag in (("sparse", "--sparse"), ("pt10k", "--pt10k"),
-                       ("ttt", "--ttt"), ("rl", "--rl")):
-        sub = _run_path_subprocess(flag)
+    _emit(dense)
+
+    for name, flag in (("pt10k", "--pt10k"), ("ttt", "--ttt"),
+                       ("sparse", "--sparse"), ("rl", "--rl")):
+        rem = remaining()
+        if rem < MIN_PATH_S:
+            dense["extras"][name] = {
+                "error": f"skipped: budget exhausted ({rem:.0f}s left of "
+                         f"{TOTAL_BUDGET_S}s total)"}
+            _emit(dense)
+            continue
+        sub = _run_path_subprocess(flag, min(PATH_TIMEOUT_S, rem))
         if "error" in sub:
             dense["extras"][name] = sub
         else:
             dense["extras"][name] = {k: sub[k] for k in
                                      ("metric", "value", "unit")}
             dense["extras"][name].update(sub.get("extras", {}))
+        _emit(dense)
     return dense
 
 
@@ -131,7 +186,7 @@ def main():
     elif args.dense:
         print(json.dumps(headline.bench_dense()))
     else:
-        print(json.dumps(_run_all()))
+        _run_all()  # emits (flushed) incrementally; last line = full result
 
 
 if __name__ == "__main__":

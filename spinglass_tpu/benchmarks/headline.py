@@ -1,11 +1,13 @@
 """Headline benchmark bodies shared by bench.py (the driver artifact) and
 the quality gates.
 
-Keeping one implementation matters beyond DRY: through the axon tunnel a
-fresh Pallas-kernel compile can take minutes, but identical jitted programs
-hit the persistent compilation cache (utils.cache.
-enable_persistent_compile_cache) — so the TPU performance gate reuses the
-exact executable the headline bench compiled, and vice versa.
+Keeping one implementation matters beyond DRY: the TPU performance gate and
+the driver bench measure the exact same program at the exact same shapes,
+so their numbers are directly comparable. (Persistent-compile-cache reuse
+applies only when SPINGLASS_JAX_CACHE is set on locally-attached devices —
+the cache is off by default because shipping a big cached executable
+through the axon tunnel measured 3x slower than a fresh compile; see
+utils.cache.enable_persistent_compile_cache.)
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
 Its CPU sweep path does O(N) torch ops + .item() syncs per spin
