@@ -85,10 +85,23 @@ def planted_gauge_coo(n_spins: int, avg_degree: float = 6.0, seed: int = 0,
                            frustration=frustration)
 
 
+def instance_hash(inst: PlantedInstance) -> str:
+    """Content hash of a planted instance (for provenance files): sha256
+    over rows.astype(int64) + cols.astype(int64) + vals.astype(float64)
+    bytes. Ties a recorded best-known energy to the exact instance."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(inst.rows.astype(np.int64)).tobytes())
+    h.update(np.ascontiguousarray(inst.cols.astype(np.int64)).tobytes())
+    h.update(np.ascontiguousarray(inst.vals.astype(np.float64)).tobytes())
+    return h.hexdigest()
+
+
 def time_to_target(problem, target_energy: float, cfg=None,
                    rel_gap: float = 1e-3, max_sweeps: int = 20000,
                    chunk_super_steps: int = 5, key=None,
-                   warm: bool = True) -> dict:
+                   warm: bool = True, seeds=None) -> dict:
     """Wall-clock until PT's best energy reaches target*(1 - rel_gap)
     ... i.e. best <= target + rel_gap*|target| (energies are negative).
 
@@ -98,8 +111,19 @@ def time_to_target(problem, target_energy: float, cfg=None,
     the tunneled v5e each chunk paid ~1 s of dispatch/sync overhead against
     ~16 ms of compute, stretching a ~6 s solve past 10 minutes. Per-super-
     step checking on device is also strictly finer-grained.)
-    ``warm=True`` pre-runs the solve once so the reported time excludes XLA
-    compilation (the metric is solver time, not compile time).
+
+    ``warm=True`` AOT-compiles the solve (``jit(...).lower(...).compile()``)
+    so the reported time excludes XLA compilation WITHOUT executing the
+    up-to-max_sweeps solve an extra throwaway time (the old double-solve
+    warmup doubled a 44 s bench path; ADVICE.md r3).
+
+    ``seeds``: optional sequence of ints. When given, the SAME compiled
+    executable runs once per seed (fresh init_state each), and the result
+    reports the median-by-seconds run at the top level plus all per-seed
+    runs under "per_seed" — one-seed TTT numbers are flaky round-to-round
+    (VERDICT.md r3 weak #2). When None, a single run with ``key``
+    (back-compatible).
+
     ``chunk_super_steps`` is kept for API compatibility but unused.
     Returns seconds, sweeps used, and whether the target was hit within
     max_sweeps."""
@@ -115,7 +139,6 @@ def time_to_target(problem, target_energy: float, cfg=None,
     threshold = target_energy + rel_gap * abs(target_energy)
     max_super = max(1, max_sweeps // cfg.exchange_interval)
 
-    @jax.jit
     def solve(state):
         def cond(carry):
             _, n_super, best = carry
@@ -131,25 +154,44 @@ def time_to_target(problem, target_energy: float, cfg=None,
             cond, body, (state, jnp.int32(0), jnp.float32(jnp.inf)))
         return n_super, best
 
-    if key is None:
-        key = jax.random.key(cfg.seed)
-    state0 = pt_mod.init_state(problem, cfg, key, engine)
-    if warm:
-        out = solve(state0)
-        jax.block_until_ready(out)
+    if seeds is not None:
+        keys = [jax.random.key(int(s)) for s in seeds]
+    else:
+        keys = [key if key is not None else jax.random.key(cfg.seed)]
+    states = [pt_mod.init_state(problem, cfg, k, engine) for k in keys]
 
-    t0 = time.perf_counter()
-    n_super, best_d = solve(state0)
-    jax.block_until_ready(best_d)
-    elapsed = time.perf_counter() - t0
-    best = float(best_d)
-    return {
-        "seconds": elapsed,
-        "sweeps": int(n_super) * cfg.exchange_interval,
-        "best_energy": best,
+    solve_fn = jax.jit(solve)
+    if warm:
+        # AOT compile: lowers + compiles the executable without running the
+        # up-to-max_sweeps solve (all states share one shape/dtype struct)
+        solve_fn = solve_fn.lower(states[0]).compile()
+
+    runs = []
+    for st0 in states:
+        t0 = time.perf_counter()
+        n_super, best_d = solve_fn(st0)
+        jax.block_until_ready(best_d)
+        elapsed = time.perf_counter() - t0
+        best = float(best_d)
+        runs.append({
+            "seconds": elapsed,
+            "sweeps": int(n_super) * cfg.exchange_interval,
+            "best_energy": best,
+            "hit": best <= threshold,
+        })
+
+    med = sorted(runs, key=lambda r: r["seconds"])[len(runs) // 2]
+    out = {
+        **med,
         "target_energy": target_energy,
         "threshold": threshold,
-        "hit": best <= threshold,
         "n_replicas": cfg.n_replicas,
         "engine": engine.name,
     }
+    if seeds is not None:
+        out["seeds"] = [int(s) for s in seeds]
+        out["per_seed"] = runs
+        out["seconds_min"] = min(r["seconds"] for r in runs)
+        out["seconds_max"] = max(r["seconds"] for r in runs)
+        out["all_hit"] = all(r["hit"] for r in runs)
+    return out

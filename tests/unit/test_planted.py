@@ -59,3 +59,48 @@ class TestTimeToTarget:
         assert out["hit"], out
         assert out["best_energy"] <= out["threshold"]
         assert out["seconds"] > 0
+
+    def test_multi_seed_reports_per_seed_median(self):
+        """seeds= runs the SAME compiled executable once per seed and
+        reports the median-by-seconds run at the top level (VERDICT r3
+        task 3: one-seed TTT is flaky; measure the spread)."""
+        inst = planted.planted_gauge_coo(100, avg_degree=4.0, seed=2)
+        ell = EllProblem.from_coo(inst.n_spins, inst.rows, inst.cols,
+                                  inst.vals)
+        from spinglass_tpu.anneal import pt as pt_mod
+
+        cfg = pt_mod.PTConfig(n_replicas=4, exchange_interval=5,
+                              min_temp=0.1, max_temp=5.0, seed=0)
+        out = planted.time_to_target(ell, inst.e0, cfg, rel_gap=1e-3,
+                                     max_sweeps=1500, seeds=(0, 1, 2))
+        assert out["seeds"] == [0, 1, 2]
+        assert len(out["per_seed"]) == 3
+        secs = sorted(r["seconds"] for r in out["per_seed"])
+        assert out["seconds"] == secs[1]            # median
+        assert out["seconds_min"] == secs[0]
+        assert out["seconds_max"] == secs[2]
+        assert out["all_hit"] == all(r["hit"] for r in out["per_seed"])
+
+
+class TestTTTProvenance:
+    def test_provenance_hash_matches_generator(self):
+        """The committed ttt_provenance.json must describe exactly the
+        instance the generator produces today — if numpy or the generator
+        drifts, the best-known energy no longer applies and the bench must
+        refuse to run (headline.bench_ttt raises on mismatch)."""
+        from spinglass_tpu.benchmarks import headline
+
+        prov, path = headline._load_ttt_provenance()
+        spec = prov["instance"]
+        inst = planted.planted_gauge_coo(
+            spec["n_spins"], avg_degree=spec["avg_degree"],
+            seed=spec["seed"], frustration=spec["frustration"],
+            magnitude=spec["magnitude"])
+        assert planted.instance_hash(inst) == spec["sha256"]
+        assert len(inst.rows) == spec["n_directed_entries"]
+        assert inst.e0 == pytest.approx(spec["planted_state_energy"])
+        # the best-known target must beat the planted state's energy
+        # (frustrated: planted state is only an upper bound)
+        assert prov["best_known_energy"] < inst.e0
+        assert all(r["best_energy"] >= prov["best_known_energy"] - 1e-2
+                   for r in prov["deep_runs"])
