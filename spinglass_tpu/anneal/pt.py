@@ -487,6 +487,26 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     hists: list = []
     done_super = 0
     mgr = CheckpointManager(checkpoint_dir, every=1, use_orbax=False)
+    # Engine/layout sidecar: auto-dispatch can change the state carrier
+    # (e.g. r_hint>=256 on TPU switches spins to the int8 [NS, R]
+    # sorted-transposed layout), making older checkpoints unloadable. Record
+    # which engine wrote the checkpoint and fail with pinning advice on
+    # mismatch rather than a cryptic shape error (ADVICE.md r3 #5).
+    meta_path = os.path.join(checkpoint_dir, "engine_meta.json")
+    if os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            saved_engine = _json.load(f).get("engine")
+        if resume and saved_engine != engine.name:
+            from spinglass_tpu.utils.checkpoint import CheckpointError
+
+            raise CheckpointError(
+                f"checkpoint in {checkpoint_dir} was written by engine "
+                f"'{saved_engine}' but the current dispatch picked "
+                f"'{engine.name}' (different state layout). Pin "
+                f"PTConfig(sweep_method=...) to the original engine to "
+                f"resume, or point checkpoint_dir at a fresh directory.")
     if resume:
         template = {"state": state, "done_super": np.int64(0)}
         restored = mgr.restore_latest(template)
@@ -517,6 +537,13 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
                             **merged)
         mgr.maybe_save(done_super, {"state": jax.device_get(state),
                                     "done_super": np.int64(done_super)})
+        if not os.path.exists(meta_path):
+            import json as _json
+
+            with open(meta_path, "w") as f:
+                _json.dump({"engine": engine.name,
+                            "sweep_method": cfg.sweep_method,
+                            "update_rule": cfg.update_rule}, f)
     total = time.perf_counter() - t0
 
     hist = hists[0]

@@ -103,7 +103,7 @@ def _gate_solution_quality() -> GateResult:
                       f"FM ground state {res.best_energy} vs {target}")
 
 
-def _gate_performance_smoke(min_flips: float = 0.0) -> GateResult:
+def _gate_performance_smoke(min_flips=None) -> GateResult:
     """Backend-aware throughput gate (VERDICT.md r2 weak #8: the old fixed
     1e5-flips/s smoke could not catch even a 100x TPU regression).
 
@@ -119,7 +119,10 @@ def _gate_performance_smoke(min_flips: float = 0.0) -> GateResult:
     if on_tpu:
         from spinglass_tpu.benchmarks import headline
 
-        gate = min_flips or 1e9
+        # None = backend default; an EXPLICIT numeric value is authoritative
+        # (`min_flips or 1e9` silently turned an explicit 1e5 into 1e9 and
+        # an explicit 0.0 back into 1e9 — ADVICE.md r3 #4)
+        gate = 1e9 if min_flips is None else min_flips
         res = headline.bench_dense()
         fps = res["value"]
         ok = fps >= gate
@@ -131,7 +134,8 @@ def _gate_performance_smoke(min_flips: float = 0.0) -> GateResult:
     from spinglass_tpu.core import topology
     from spinglass_tpu.core.problem import IsingProblem
 
-    n, r, sweeps, gate = 64, 16, 200, (min_flips or 1e5)
+    n, r, sweeps = 64, 16, 200
+    gate = 1e5 if min_flips is None else min_flips
     j = topology.fully_connected(n, dist="gaussian", scale=1 / np.sqrt(n),
                                  seed=2)
     p = IsingProblem.from_dense(j)

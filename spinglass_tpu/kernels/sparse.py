@@ -500,7 +500,7 @@ def build_sorted_t(ell: EllProblem, colors: np.ndarray, n_buckets: int = 12,
 
 
 def make_threshold_call(n_sorted: int, r: int, rule: str,
-                        block_rows: int = 256):
+                        block_rows: int = 256, interpret: bool = False):
     """Pallas TPU kernel producing acceptance thresholds th [NS, R] directly
     from the on-chip PRNG (replaces host threefry + accept_threshold, which
     cost ~400 us/sweep at [10240, 1024] — ~27%% of the whole sweep).
@@ -517,7 +517,11 @@ def make_threshold_call(n_sorted: int, r: int, rule: str,
 
     def kernel(seed_ref, nib_ref, mask_ref, out_ref):
         b = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] * jnp.int32(n_blocks) + b)
+        # seed with BOTH key words + the block id as separate seed inputs:
+        # collapsing the key to one int32 (r3) left ~2^32/n_blocks distinct
+        # per-block streams, so 200k-sweep runs could reuse bit-identical
+        # threshold blocks across sweeps (ADVICE.md r3 #1)
+        pltpu.prng_seed(seed_ref[0], seed_ref[1], b)
         bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.int32)
         u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
         if rule == "metropolis":
@@ -540,6 +544,7 @@ def make_threshold_call(n_sorted: int, r: int, rule: str,
             ],
             out_specs=pl.BlockSpec((block_rows, r), lambda b: (b, 0),
                                    memory_space=pltpu.VMEM),
+            interpret=interpret,
         )(seed, nib, mask_col)
 
     return call
@@ -675,11 +680,13 @@ class SortedSparseTEngine:
             # derive the kernel seed by bitcasting the key's own counter
             # words (keys are already split per sweep) — a per-sweep scalar
             # randint would serialize a threefry against the sweep chain,
-            # measured ~65 us/sweep at R=1024
+            # measured ~65 us/sweep at R=1024. BOTH words go to the kernel
+            # (2^64 stream space; XOR-folding to one word risked stream
+            # reuse on long runs, ADVICE.md r3 #1)
             data = jax.random.key_data(key).reshape(-1)
-            seed = lax.bitcast_convert_type(
-                data[-1], jnp.int32).reshape(1) ^ lax.bitcast_convert_type(
-                data[0], jnp.int32).reshape(1)
+            seed = jnp.concatenate([
+                lax.bitcast_convert_type(data[0], jnp.int32).reshape(1),
+                lax.bitcast_convert_type(data[-1], jnp.int32).reshape(1)])
             nib = (-0.5 / beta)[None, :]
             return self._th_calls[r](seed, nib, self.mask_col)
         u = jax.random.uniform(key, (self.n_sorted, r), jnp.float32)

@@ -68,8 +68,25 @@ def load_pytree(template: Any, path: str) -> Any:
                     leaves.append(jax.random.wrap_key_data(
                         jnp.asarray(z[key])))
                 elif isinstance(v, (jax.Array,)):
-                    leaves.append(jnp.asarray(z[key],
-                                              dtype=np.asarray(v).dtype))
+                    tmpl = np.asarray(v)
+                    stored = z[key]
+                    # jnp.asarray would silently accept a wrong shape (and
+                    # cast across dtype kinds, e.g. a float-spins checkpoint
+                    # into an int8-layout engine — ADVICE.md r3 #5); fail
+                    # loudly instead
+                    if stored.shape != tmpl.shape:
+                        raise CheckpointError(
+                            f"leaf {key}: stored shape {stored.shape} != "
+                            f"expected {tmpl.shape} in {path} — the "
+                            f"checkpoint was written under a different "
+                            f"layout/config")
+                    if stored.dtype.kind != tmpl.dtype.kind:
+                        raise CheckpointError(
+                            f"leaf {key}: stored dtype {stored.dtype} is a "
+                            f"different kind than expected {tmpl.dtype} in "
+                            f"{path} — the checkpoint was written under a "
+                            f"different engine layout")
+                    leaves.append(jnp.asarray(stored, dtype=tmpl.dtype))
                 else:
                     # host-side leaves (np scalars/arrays, e.g. int64 step
                     # counters) restore on host — jnp.asarray would silently

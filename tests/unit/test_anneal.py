@@ -309,6 +309,23 @@ class TestCheckpointResume:
             np.asarray(seg.energy_history), np.asarray(ref.energy_history),
             rtol=1e-4)
 
+    def test_pt_resume_refuses_engine_mismatch(self, tmp_path):
+        """A checkpoint written under one engine layout must not silently
+        restore into another (auto-dispatch can change the spin carrier,
+        e.g. f32 [R,N] -> int8 [NS,R]); the resume fails with pinning
+        advice instead (ADVICE.md r3 #5)."""
+        from spinglass_tpu.utils.checkpoint import CheckpointError
+
+        p = _problem(24, seed=9)
+        d = str(tmp_path / "pt_ckpt_mismatch")
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=40, exchange_interval=10,
+                          sweep_method="colored", seed=5)
+        PT.run(p, cfg, checkpoint_dir=d, checkpoint_every=2)
+        cfg2 = PT.PTConfig(n_replicas=4, n_sweeps=40, exchange_interval=10,
+                           sweep_method="blocked", seed=5)
+        with pytest.raises(CheckpointError, match="sweep_method"):
+            PT.run(p, cfg2, checkpoint_dir=d, resume=True)
+
     def test_pt_resume_reproduces_uninterrupted(self, tmp_path):
         import os
 
