@@ -72,6 +72,10 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     best = float(stats["best_energy"])           # replicated -> addressable
+    # flips/dt is the GLOBAL program rate (every process times the same
+    # SPMD program over all n_replicas); this process only swept
+    # n_replicas/process_count of them, so its own contribution is
+    # flips_per_sec_per_process — sum THOSE across processes for totals
     flips = n_super * cfg.exchange_interval * cfg.n_replicas * problem.n_spins
     out = {
         "process": pid,
@@ -80,6 +84,7 @@ def main() -> None:
         "local_devices": info["local_devices"],
         "n_replicas": cfg.n_replicas,
         "flips_per_sec": flips / dt,
+        "flips_per_sec_per_process": flips / dt / info["process_count"],
         "seconds": dt,
         "best_energy": best,
         "finite": bool(np.isfinite(best)),

@@ -99,15 +99,27 @@ def local_replica_slice(n_replicas: int) -> slice:
     return slice(start, start + per)
 
 
-def scaling_report(flips_per_sec_per_host: Sequence[float]) -> dict:
-    """Scaling-efficiency summary for N-host runs (north-star metric)."""
+def scaling_report(flips_per_sec_per_host: Sequence[float],
+                   baseline_rate: Optional[float] = None) -> dict:
+    """Scaling-efficiency summary for N-host runs (north-star metric,
+    BASELINE.md:29 >=80% to N>=2 hosts).
+
+    ``baseline_rate``: the measured single-host throughput of the SAME
+    per-host workload. When given, efficiency = total / (N * baseline) —
+    true scaling efficiency vs one host. Without it, the first host's rate
+    stands in as the baseline, which only measures load balance across the
+    N hosts (it cannot see uniform slowdown)."""
     rates = np.asarray(list(flips_per_sec_per_host), float)
     if rates.size == 0:
         return {"n_hosts": 0, "efficiency": 0.0}
-    ideal = rates[0] * len(rates)
+    base = float(baseline_rate) if baseline_rate else float(rates[0])
+    ideal = base * len(rates)
     return {
         "n_hosts": int(rates.size),
         "total_flips_per_sec": float(rates.sum()),
         "efficiency": float(rates.sum() / ideal) if ideal else 0.0,
+        "baseline_flips_per_sec": base,
+        "baseline_kind": ("measured_single_host" if baseline_rate
+                          else "first_host"),
         "per_host": rates.tolist(),
     }

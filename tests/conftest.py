@@ -4,19 +4,28 @@ the seeded fixtures the reference suite relies on (tests/conftest.py:54-99)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# SPINGLASS_TPU_TESTS=1 leaves the real backend in place so the -m tpu
+# tier (tests/tpu/) can exercise flagship code paths on actual hardware
+# (VERDICT.md r3 task 6: the sharded Pallas engine must run on real TPU at
+# least once per round, not only interpret-mode CPU).
+_ON_TPU_TIER = os.environ.get("SPINGLASS_TPU_TESTS", "") == "1"
+
+if not _ON_TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# the axon TPU plugin (sitecustomize) sets jax_platforms programmatically,
-# which overrides the env var — force CPU at the config level too
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU_TIER:
+    # the axon TPU plugin (sitecustomize) sets jax_platforms
+    # programmatically, which overrides the env var — force CPU at the
+    # config level too
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 

@@ -26,6 +26,17 @@ def mesh():
     return pt_sharded.make_mesh(jax.devices())
 
 
+@pytest.fixture
+def mesh2():
+    """2-device mesh for the bitwise decision-identity tests: the property
+    (shard_map tiles == single-device sweep) is device-count-independent,
+    and GSPMD compile cost over 8 virtual devices dominated the suite
+    (VERDICT r3 task 2: 47 s -> ~10 s at 2 devices, same assertions)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    return pt_sharded.make_mesh(jax.devices()[:2])
+
+
 class TestShardedPT:
     def test_step_preserves_slot_permutation(self, mesh):
         p = _problem()
@@ -145,6 +156,7 @@ class TestGraftEntry:
         jax.block_until_ready(out)
         assert np.all(np.isfinite(np.asarray(out[0])))
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
@@ -236,10 +248,10 @@ class TestShardedSparseT:
     (pt_sharded.ShardedSortedTEngine): its Pallas threshold kernel cannot be
     GSPMD-partitioned, so the sweep runs per device on local replica tiles."""
 
-    def _ell(self, n=300, seed=5):
+    def _ell(self, n=128, seed=5):
         from spinglass_tpu.kernels.sparse import EllProblem
 
-        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+        coo = topology.sparse_random_graph_coo(n, avg_degree=4.0,
                                                dist="gaussian", seed=seed)
         return EllProblem.from_coo(n, *coo)
 
@@ -266,12 +278,14 @@ class TestShardedSparseT:
         assert not all(
             np.array_equal(tiles[0], tiles[d]) for d in range(1, n_dev))
 
-    def test_sharded_t_decision_identity(self, mesh):
+    @pytest.mark.slow
+    def test_sharded_t_decision_identity(self, mesh2):
         """Same sorted-layout uniforms -> bitwise-identical decisions
         between the shard_map-wrapped and single-device transposed sweep."""
         from spinglass_tpu.distributed.pt_sharded import ShardedSortedTEngine
         from spinglass_tpu.kernels.sparse import SortedSparseTEngine
 
+        mesh = mesh2
         ell = self._ell(seed=6)
         n_dev = mesh.devices.size
         r = 2 * n_dev
@@ -315,6 +329,7 @@ class TestShardedPallas:
     in shard_map so each device runs the kernel on its local [Np, R/D] tile.
     On CPU these run the kernel in interpret mode (use_pallas='always')."""
 
+    @pytest.mark.slow
     def test_sharded_pallas_step_runs(self, mesh):
         from spinglass_tpu.distributed.pt_sharded import ShardedPallasEngine
 
@@ -340,7 +355,7 @@ class TestShardedPallas:
         assert not all(
             np.array_equal(tiles[0], tiles[d]) for d in range(1, n_dev))
 
-    def test_sharded_pallas_decision_identity(self, mesh):
+    def test_sharded_pallas_decision_identity(self, mesh2):
         """Under the same host uniforms, the shard_map-wrapped kernel makes
         bitwise-identical flip decisions to the single-device kernel
         (interpret mode on CPU: exact arithmetic, no MXU-precision noise)."""
@@ -348,6 +363,7 @@ class TestShardedPallas:
         from spinglass_tpu.distributed.pt_sharded import ShardedPallasEngine
         from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
 
+        mesh = mesh2
         p = _problem(64, seed=10)
         n_dev = mesh.devices.size
         r = 2 * n_dev
@@ -373,11 +389,12 @@ class TestShardedPallas:
         np.testing.assert_allclose(np.asarray(de_ref), np.asarray(de_sh),
                                    atol=1e-4)
 
-    def test_sharded_pallas_energy_identity(self, mesh):
+    def test_sharded_pallas_energy_identity(self, mesh2):
         """E_before + dE == E_after across a sharded kernel-RNG sweep."""
         from spinglass_tpu.core import energy as energy_ops
         from spinglass_tpu.distributed.pt_sharded import make_sharded_engine
 
+        mesh = mesh2
         p = _problem(64, seed=11)
         n_dev = mesh.devices.size
         r = 2 * n_dev

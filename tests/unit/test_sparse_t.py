@@ -18,8 +18,8 @@ def key():
     return jax.random.key(7)
 
 
-def _ell(n=300, seed=3, with_h=False):
-    coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+def _ell(n=128, seed=3, with_h=False):
+    coo = topology.sparse_random_graph_coo(n, avg_degree=4.0,
                                            dist="gaussian", seed=seed)
     h = (np.random.default_rng(seed).normal(0, 0.3, n) if with_h else None)
     return S.EllProblem.from_coo(n, *coo, h=h)
@@ -148,7 +148,7 @@ class TestSortedSparseTEngine:
         int8 state) and improves energy."""
         from spinglass_tpu.anneal import sa
 
-        ell = _ell(n=200, seed=5)
+        ell = _ell(n=128, seed=5)
         cfg = sa.SAConfig(n_sweeps=200, n_replicas=8,
                           sweep_method="sparse_t", enable_early_stop=False,
                           seed=1)
@@ -162,7 +162,7 @@ class TestSortedSparseTEngine:
     def test_pt_driver_end_to_end(self):
         from spinglass_tpu.anneal import pt as pt_mod
 
-        ell = _ell(n=200, seed=5)
+        ell = _ell(n=128, seed=5)
         cfg = pt_mod.PTConfig(n_replicas=4, n_sweeps=80,
                               exchange_interval=10, sweep_method="sparse_t",
                               seed=1)

@@ -253,6 +253,7 @@ class TestDetailedBalance:
 
 
 class TestPipelinedKernel:
+    @pytest.mark.slow
     def test_pipelined_matches_base_decisions(self, key):
         """The software-pipelined FusedSweep (prefetch H_pre + sub-diagonal
         repair) must make bitwise-identical flip decisions to the in-order
