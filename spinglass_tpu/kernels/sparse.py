@@ -517,11 +517,15 @@ def make_threshold_call(n_sorted: int, r: int, rule: str,
 
     def kernel(seed_ref, nib_ref, mask_ref, out_ref):
         b = pl.program_id(0)
-        # seed with BOTH key words + the block id as separate seed inputs:
-        # collapsing the key to one int32 (r3) left ~2^32/n_blocks distinct
-        # per-block streams, so 200k-sweep runs could reuse bit-identical
-        # threshold blocks across sweeps (ADVICE.md r3 #1)
-        pltpu.prng_seed(seed_ref[0], seed_ref[1], b)
+        # seed with BOTH key words, folding the block id into word 1 with a
+        # golden-ratio odd multiplier: collapsing the key to one int32 (r3)
+        # left ~2^32/n_blocks distinct per-block streams, so 200k-sweep
+        # runs could reuse bit-identical threshold blocks across sweeps
+        # (ADVICE.md r3 #1). Mosaic accepts at most 2 seed values
+        # ("Setting seed with more than 2 values is not supported",
+        # verified on v5e), hence the fold instead of a third seed.
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (b * jnp.int32(-1640531527)))
         bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.int32)
         u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
         if rule == "metropolis":
@@ -548,6 +552,136 @@ def make_threshold_call(n_sorted: int, r: int, rule: str,
         )(seed, nib, mask_col)
 
     return call
+
+
+def make_accept_call(mc: int, r: int, rule: str, off: int, spin_dtype,
+                     interpret: bool = False):
+    """Fused per-color accept kernel (round-4 sparse perf lead): generates
+    acceptance thresholds from the on-chip PRNG, compares s*f < th, flips,
+    and accumulates dE/counts — all in one VMEM pass over the color slice.
+    Replaces the separate [NS, R] threshold kernel + 4-5 XLA elementwise
+    passes (threshold write+readback alone is ~80 MB of HBM traffic per
+    sweep at [10240, 1024]).
+
+    Mosaic note: selects on int8 values crash the TPU compiler
+    (tpu_compile_helper exit 1, found r3); spins are widened to f32 on
+    load, all math/selects run in f32, and the result is narrowed back to
+    ``spin_dtype`` only at the store.
+
+    Seeding: (key word 0, key word 1 ^ hash(global row)) — the block's
+    GLOBAL starting row (off + b*block_rows) is unique across all
+    colors/blocks of a sweep; the key words are split per sweep upstream.
+    (Folded because Mosaic accepts at most 2 seed values.)"""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_rows = next(b for b in (256, 128, 64, 32)
+                      if mc % b == 0 and off % b == 0)
+    n_blocks = mc // block_rows
+
+    def kernel(seed_ref, nib_ref, f_ref, s_ref, mask_ref,
+               s_out, de_out, cnt_out):
+        b = pl.program_id(0)
+        # global starting row of this block, folded into seed word 1
+        # (Mosaic caps prng_seed at 2 values; golden-ratio odd multiplier
+        # spreads the small row ids across the word)
+        row = jnp.int32(off) + b * jnp.int32(block_rows)
+        pltpu.prng_seed(seed_ref[0],
+                        seed_ref[1] ^ (row * jnp.int32(-1640531527)))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((block_rows, r)),
+                             jnp.int32)
+        u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+        if rule == "metropolis":
+            th = jnp.log(u) * nib_ref[:]
+        else:  # glauber: -logit(u)/(2 beta)
+            th = (jnp.log(u) - jnp.log1p(-u)) * nib_ref[:]
+        th = jnp.where(mask_ref[:] < 0, -jnp.inf, th)
+        s32 = s_ref[:].astype(jnp.float32)
+        sf = s32 * f_ref[:]
+        acc = sf < th
+        s_out[:] = jnp.where(acc, -s32, s32).astype(s_out.dtype)
+        de_b = 2.0 * jnp.sum(jnp.where(acc, sf, 0.0), axis=0,
+                             keepdims=True)
+        cnt_b = jnp.sum(acc.astype(jnp.int32), axis=0, keepdims=True)
+
+        @pl.when(b == 0)
+        def _init():
+            de_out[:] = de_b
+            cnt_out[:] = cnt_b
+
+        @pl.when(b != 0)
+        def _acc():
+            de_out[:] = de_out[:] + de_b
+            cnt_out[:] = cnt_out[:] + cnt_b
+
+    def call(seed, nib, f, s_c, mask_c):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=[
+                jax.ShapeDtypeStruct((mc, r), jnp.dtype(spin_dtype)),
+                jax.ShapeDtypeStruct((1, r), jnp.float32),
+                jax.ShapeDtypeStruct((1, r), jnp.int32),
+            ],
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, r), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, r), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, r), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rows, 1), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_rows, r), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            interpret=interpret,
+        )(seed, nib, f, s_c, mask_c)
+
+    return call
+
+
+def make_sorted_t_sweep_fused(groups, mask_col, rule, spin_dtype,
+                              interpret: bool = False):
+    """Transposed sorted sweep with the fused Pallas accept kernel: XLA
+    does the neighbor gathers + einsum local fields per color (MXU/issue
+    bound — XLA already does this well), the Pallas kernel does
+    RNG+threshold+compare+flip+reduce in one pass (the part XLA spread
+    over an [NS, R] threshold round trip and several elementwise passes).
+    Signature: sweep(s_t, nib [1,R], seed [2] int32) — no threshold input."""
+    calls = {}
+
+    def sweep(s_t, nib, seed):
+        r = s_t.shape[1]
+        de_acc = jnp.zeros((r,), jnp.float32)
+        cnt = jnp.zeros((r,), jnp.int32)
+        for off, mc, bs in groups:
+            fs = []
+            for b in bs:  # independent: all read the same `s_t`
+                g = s_t[b.idx]                      # [m, k, R]
+                fs.append(jnp.einsum("mkr,mk->mr", g.astype(jnp.float32),
+                                     b.val) + b.h[:, None])
+            f = jnp.concatenate(fs, axis=0) if len(fs) > 1 else fs[0]
+            if (off, mc, r) not in calls:
+                calls[(off, mc, r)] = make_accept_call(
+                    mc, r, rule, off, s_t.dtype, interpret=interpret)
+            s_c = lax.slice_in_dim(s_t, off, off + mc, axis=0)
+            mask_c = lax.slice_in_dim(mask_col, off, off + mc, axis=0)
+            s_new, de_c, cnt_c = calls[(off, mc, r)](seed, nib, f, s_c,
+                                                     mask_c)
+            s_t = lax.dynamic_update_slice(s_t, s_new, (off, 0))
+            de_acc = de_acc + de_c[0]
+            cnt = cnt + cnt_c[0]
+        return s_t, de_acc, cnt
+
+    return sweep
 
 
 def make_sorted_t_sweep(groups):
@@ -606,7 +740,8 @@ class SortedSparseTEngine:
 
     def __init__(self, problem, rule: str = "metropolis",
                  max_colors: int = 256, n_buckets: int = 12,
-                 spin_dtype=jnp.int8, threshold_rng: str = "auto"):
+                 spin_dtype=jnp.int8, threshold_rng: str = "auto",
+                 accept_kernel: str = "auto"):
         from spinglass_tpu.kernels.sweeps import canonical_rule
 
         self.problem = problem
@@ -640,7 +775,14 @@ class SortedSparseTEngine:
         self._use_pallas_rng = (threshold_rng == "pallas"
                                 or (threshold_rng == "auto"
                                     and jax.default_backend() == "tpu"))
+        # fused accept (r4): one Pallas pass does RNG+threshold+flip+reduce
+        # per color instead of a [NS, R] threshold round trip + XLA
+        # elementwise chain; needs the TPU PRNG, so same gating
+        self._use_fused_accept = accept_kernel == "fused" or (
+            accept_kernel == "auto" and self._use_pallas_rng)
         self._sweep = make_sorted_t_sweep(self.groups)
+        self._sweep_fused = make_sorted_t_sweep_fused(
+            self.groups, self.mask_col, self.rule, self.spin_dtype)
         self._th_calls = {}
 
     # -- layout ------------------------------------------------------------
@@ -677,24 +819,30 @@ class SortedSparseTEngine:
             if r not in self._th_calls:
                 self._th_calls[r] = make_threshold_call(
                     self.n_sorted, r, self.rule)
-            # derive the kernel seed by bitcasting the key's own counter
-            # words (keys are already split per sweep) — a per-sweep scalar
-            # randint would serialize a threefry against the sweep chain,
-            # measured ~65 us/sweep at R=1024. BOTH words go to the kernel
-            # (2^64 stream space; XOR-folding to one word risked stream
-            # reuse on long runs, ADVICE.md r3 #1)
-            data = jax.random.key_data(key).reshape(-1)
-            seed = jnp.concatenate([
-                lax.bitcast_convert_type(data[0], jnp.int32).reshape(1),
-                lax.bitcast_convert_type(data[-1], jnp.int32).reshape(1)])
             nib = (-0.5 / beta)[None, :]
-            return self._th_calls[r](seed, nib, self.mask_col)
+            return self._th_calls[r](self._seed_words(key), nib,
+                                     self.mask_col)
         u = jax.random.uniform(key, (self.n_sorted, r), jnp.float32)
         th = accept_threshold(u, beta[None, :], self.rule)
         return jnp.where(self.mask_col < 0, -jnp.inf, th)
 
+    def _seed_words(self, key):
+        """Kernel seed from the key's own counter words (keys are split per
+        sweep upstream; a scalar randint would serialize a threefry against
+        the sweep chain, ~65 us/sweep at R=1024). Both words: 2^64 stream
+        space (ADVICE r3 #1)."""
+        data = jax.random.key_data(key).reshape(-1)
+        return jnp.concatenate([
+            lax.bitcast_convert_type(data[0], jnp.int32).reshape(1),
+            lax.bitcast_convert_type(data[-1], jnp.int32).reshape(1)])
+
     def sweep(self, spins_t, beta, key):
-        th = self._thresholds(spins_t.shape[1], beta, key)
+        r = spins_t.shape[1]
+        if self._use_fused_accept and r % 128 == 0:
+            beta_r = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+            nib = (-0.5 / beta_r)[None, :]
+            return self._sweep_fused(spins_t, nib, self._seed_words(key))
+        th = self._thresholds(r, beta, key)
         return self._sweep(spins_t, th)
 
     def sweep_with_uniforms(self, spins_t, beta, uniforms_t):

@@ -136,3 +136,38 @@ class TestShardedPallasOnTPU:
         # sweeps at beta=1 from random start must lower typical energy
         e0 = sparse_energy(ell, engine.from_layout(s))
         assert float(jnp.mean(e)) < float(jnp.mean(e0))
+
+    def test_fused_accept_energy_identity(self):
+        """The fused accept kernel's reported dE must satisfy
+        E0 + dE == E1 exactly (f32 tolerance) — the strongest single-sweep
+        correctness check: it ties the kernel's flip decisions, its dE
+        reduction, and the spin store together."""
+        import jax.numpy as jnp
+
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.kernels.sparse import (EllProblem,
+                                                  SortedSparseTEngine)
+        from spinglass_tpu.core import topology
+
+        n, r = 1024, 128
+        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+                                               dist="gaussian", seed=2)
+        ell = EllProblem.from_coo(n, *coo)
+        eng = SortedSparseTEngine(ell, accept_kernel="fused")
+        assert eng._use_fused_accept
+        s = eng.to_layout(random_spins(jax.random.key(1), (r, ell.n_padded),
+                                       ell.active_mask))
+
+        @jax.jit
+        def one(s, key):
+            return eng.sweep(s, jnp.float32(0.7), key)
+
+        e0 = eng.energy(s)
+        s1, de, cnt = one(s, jax.random.key(9))
+        e1 = eng.energy(s1)
+        np.testing.assert_allclose(np.asarray(e0 + de), np.asarray(e1),
+                                   rtol=1e-4, atol=5e-2)
+        assert int(jnp.sum(cnt)) > 0
+        # spins stay exactly +-1 through the int8 store
+        vals = np.unique(np.asarray(s1))
+        assert set(vals.tolist()) <= {-1, 1}
