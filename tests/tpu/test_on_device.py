@@ -40,7 +40,7 @@ class TestShardedPallasOnTPU:
         import jax.numpy as jnp
 
         from spinglass_tpu.anneal.pt import PTConfig
-        from spinglass_tpu.core.energy import batched_energy
+        from spinglass_tpu.core.energy import energy as batched_energy
         from spinglass_tpu.distributed import pt_sharded
         from spinglass_tpu.distributed.pt_sharded import ShardedPallasEngine
 
@@ -96,10 +96,10 @@ class TestShardedPallasOnTPU:
         real = th1[:500]
         assert np.all(np.isfinite(real))
         assert not np.array_equal(th1[:256], th1[256:512])  # blocks differ
-        # Metropolis thresholds are log(U)*(-0.5/beta) with beta from
-        # nib=-0.5 => th = log(U): all <= 0, median near log(0.5)
-        assert np.all(real <= 0.0)
-        assert abs(np.median(real) - np.log(0.5)) < 0.05
+        # Metropolis thresholds are log(U)*nib with nib=-0.5 and
+        # log(U) <= 0 => th >= 0, median at -0.5*log(0.5) ~ 0.3466
+        assert np.all(real >= 0.0)
+        assert abs(np.median(real) - (-0.5 * np.log(0.5))) < 0.02
 
     def test_sparse_t_engine_pallas_rng_sweep(self):
         """SortedSparseTEngine with the Pallas threshold RNG (r % 128 == 0
