@@ -176,6 +176,108 @@ def _make_kernel(rule: str, block_size: int, kernel_rng: bool, precision,
     return kernel
 
 
+def _make_kernel_folded(rule: str, block_size: int, kernel_rng: bool,
+                        precision, rt: int, j_bf16: bool = False,
+                        micro: int = MICRO):
+    """Sublane-folded variant of _make_kernel (round-4 experiment).
+
+    In the base kernel every dependent per-spin step operates on [1, rt]
+    rows: with rt=1024 a row spans 8 vregs each using 1/8 of its sublanes,
+    so the VPU executes ~8x more instructions than the data needs. Here the
+    replica axis is FOLDED to [8, rt/8] for the sequential phase — one spin
+    row is then a fully-packed vreg set — and the immediate correction
+    becomes a [rows, 8, rt8] broadcast fma (leading-dim slices of a 3D
+    array are vreg-granular, so the aligned-floor trick of the flat kernel
+    is unnecessary; corrections start exactly at j+1).
+
+    The MXU passes (row-block matmul, delayed update) keep flat [B, rt]
+    operands; folds/unfolds are jnp.reshape relayouts at micro-block or
+    block granularity (~4 MB per block at B=256 rt=1024).
+
+    MEASURED NEUTRAL on v5e at the bench shape (404.4 vs 408.6 us/sweep,
+    N=4096 R=1024 block=256): the sequential phase is bound by the
+    LATENCY of the per-spin dependency chain (each decision feeds the next
+    spin's field), not by VPU instruction issue — folding shortens the
+    instruction stream ~8x but not the chain, and the reshape relayouts
+    absorb the rest. Kept as a decision-parity-tested option for TPU
+    generations with different VPU issue/latency balance."""
+    prec = _PRECISIONS[precision]
+    rt8 = rt // 8
+
+    def kernel(seed_ref, jrows_ref, jbb_ref, jbb_od_ref, h_ref, u_ref,
+               beta_ref, s_in_ref, s_io_ref, de_out, cnt_out,
+               ht,           # scratch [B, rt]   flat fields (MXU target)
+               sbf,          # scratch [B, 8, rt8] folded block spins
+               dsb,          # scratch [B, 8, rt8] folded accepted deltas
+               fbf,          # scratch [B, 8, rt8] folded decision fields
+               ubf,          # scratch [B, 8, rt8] folded thresholds
+               htf,          # scratch [micro, 8, rt8] folded fields (cur mb)
+               dflat):       # scratch [micro, rt] flat deltas for the MXU
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        bb = block_size
+
+        @pl.when(b == 0)
+        def _():
+            s_io_ref[:] = s_in_ref[:]
+            de_out[:] = jnp.zeros_like(de_out)
+            cnt_out[:] = jnp.zeros_like(cnt_out)
+
+        i0 = pl.multiple_of(b * bb, bb)
+        if j_bf16:
+            ht[:] = jnp.dot(jrows_ref[:],
+                            s_io_ref[:].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) + h_ref[:]
+        else:
+            ht[:] = jnp.dot(jrows_ref[:], s_io_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=prec) + h_ref[:]
+        sbf[:] = s_io_ref[pl.ds(i0, bb), :].reshape(bb, 8, rt8)
+        if kernel_rng:
+            pltpu.prng_seed(seed_ref[0] + t * pl.num_programs(1) + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((bb, 8, rt8)),
+                                 jnp.int32)
+            u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+            u = u + u_ref[:].reshape(bb, 8, rt8)
+        else:
+            u = u_ref[:].reshape(bb, 8, rt8)
+        # folding is a row-major reshape: replica r -> (r // rt8, r % rt8)
+        # consistently for u/beta/spins, so decisions match the flat kernel
+        nib = (-0.5 / beta_ref[:]).reshape(1, 8, rt8)
+        if rule == "metropolis":
+            th = jnp.log(u) * nib
+        else:
+            th = (jnp.log(u) - jnp.log1p(-jnp.minimum(u, 0.999999))) * nib
+        ubf[:] = jnp.where(u < 1.0, th, -jnp.inf)
+        for c in range(bb // micro):
+            lo, hi = c * micro, (c + 1) * micro
+            htf[:] = ht[lo:hi, :].reshape(micro, 8, rt8)
+            for j in range(micro):
+                jj = lo + j
+                row = sbf[jj]                 # [8, rt8] — one packed vreg set
+                f = htf[j]
+                acc = row * f < ubf[jj]
+                ds = jnp.where(acc, -2.0 * row, 0.0)
+                sbf[jj] = row + ds
+                dsb[jj] = ds
+                fbf[jj] = f
+                if j + 1 < micro:
+                    col = jbb_ref[jj + 1:hi, jj:jj + 1]      # [rows, 1]
+                    htf[j + 1:] = (htf[j + 1:]
+                                   + col[:, :, None] * ds[None, :, :])
+            dflat[:] = dsb[pl.ds(lo, micro)].reshape(micro, rt)
+            ht[:] = ht[:] + jnp.dot(jbb_od_ref[:, lo:hi], dflat[:],
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+        s_io_ref[pl.ds(i0, bb), :] = sbf[:].reshape(bb, rt)
+        de_out[:] = de_out[:] - jnp.sum(
+            dsb[:] * fbf[:], axis=0).reshape(1, rt)
+        cnt_out[:] = cnt_out[:] + 0.5 * jnp.sum(
+            jnp.abs(dsb[:]), axis=0).reshape(1, rt)
+
+    return kernel
+
+
 def _make_kernel_pipe(rule: str, block_size: int, kernel_rng: bool, precision,
                       j_bf16: bool = False, micro: int = MICRO):
     """Software-pipelined variant: grid step bp PRE-COMPUTES block bp's local
@@ -359,22 +461,39 @@ def _pick_replica_tile(n_pad: int, r: int, block_size: int,
 def _build_call(n_pad: int, r: int, block_size: int, rule: str,
                 kernel_rng: bool, precision, interpret: bool, dtype,
                 replica_tile: int = 0, j_bf16: bool = False,
-                micro: int = MICRO):
+                micro: int = MICRO, folded: bool = False):
     n_blocks = n_pad // block_size
     rt = replica_tile or _pick_replica_tile(n_pad, r, block_size)
     if r % rt != 0:
         raise ValueError(f"replica count {r} not divisible by tile {rt}")
     r_tiles = r // rt
-    kernel = _make_kernel(rule, block_size, kernel_rng, precision, j_bf16,
-                          micro)
+    if folded and rt % 8 != 0:
+        raise ValueError(f"folded kernel needs replica tile % 8 == 0, "
+                         f"got {rt}")
+    if folded:
+        kernel = _make_kernel_folded(rule, block_size, kernel_rng,
+                                     precision, rt, j_bf16, micro)
+        scratches = [
+            pltpu.VMEM((block_size, rt), jnp.float32),           # ht
+            pltpu.VMEM((block_size, 8, rt // 8), jnp.float32),   # sbf
+            pltpu.VMEM((block_size, 8, rt // 8), jnp.float32),   # dsb
+            pltpu.VMEM((block_size, 8, rt // 8), jnp.float32),   # fbf
+            pltpu.VMEM((block_size, 8, rt // 8), jnp.float32),   # ubf
+            pltpu.VMEM((micro, 8, rt // 8), jnp.float32),        # htf
+            pltpu.VMEM((micro, rt), jnp.float32),                # dflat
+        ]
+    else:
+        kernel = _make_kernel(rule, block_size, kernel_rng, precision,
+                              j_bf16, micro)
+        scratches = [pltpu.VMEM((block_size, rt), jnp.float32)
+                     for _ in range(5)]
     # grid order (rt, b): b innermost, so each replica tile runs a full sweep
     # (its spin window stays resident) before the next tile begins; J streams
     # once per tile.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r_tiles, n_blocks),
-        scratch_shapes=[pltpu.VMEM((block_size, rt), jnp.float32)
-                        for _ in range(5)],
+        scratch_shapes=scratches,
         in_specs=[
             pl.BlockSpec((block_size, n_pad), lambda t, b, sref: (b, 0)),
             pl.BlockSpec((block_size, block_size), lambda t, b, sref: (b, 0)),
@@ -480,7 +599,8 @@ class FusedSweep:
     def __init__(self, problem: IsingProblem, block_size: int = 128,
                  rule: str = "metropolis", precision=None,
                  interpret: bool = False, j_dtype=jnp.float32,
-                 micro: int = MICRO, pipelined: bool = False):
+                 micro: int = MICRO, pipelined: bool = False,
+                 folded: bool = False):
         from spinglass_tpu.kernels.sweeps import canonical_rule
         n_pad = problem.n_padded
         if n_pad % block_size != 0:
@@ -494,6 +614,7 @@ class FusedSweep:
         self.j_bf16 = j_dtype == jnp.bfloat16
         self.micro = micro
         self.pipelined = pipelined
+        self.folded = folded
         self.j32 = problem.j.astype(j_dtype)
         # jbb blocks stay f32 (VPU elementwise + small MXU passes)
         self.jbb_all = _diag_blocks(self.j32, block_size).astype(jnp.float32)
@@ -509,10 +630,11 @@ class FusedSweep:
         key = (r, kernel_rng)
         if key not in self._calls:
             build = _build_call_pipe if self.pipelined else _build_call
+            kwargs = {} if self.pipelined else {"folded": self.folded}
             self._calls[key] = build(
                 self.problem.n_padded, r, self.block_size, self.rule,
                 kernel_rng, self.precision, self.interpret, jnp.float32,
-                j_bf16=self.j_bf16, micro=self.micro)
+                j_bf16=self.j_bf16, micro=self.micro, **kwargs)
         return self._calls[key]
 
     def _operands(self, u, beta, spins_t):

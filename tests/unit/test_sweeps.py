@@ -314,3 +314,29 @@ class TestHeatBathRule:
         eng = make_engine(p, sweep_method="blocked", use_pallas="never",
                           update_rule="heat_bath")
         assert eng.rule == "glauber"
+
+
+@pytest.mark.slow
+class TestFoldedKernel:
+    def test_folded_matches_base_decisions(self, key):
+        """Sublane-folded FusedSweep variant (r4 experiment, measured
+        perf-neutral on v5e — see _make_kernel_folded docstring) must make
+        bitwise-identical decisions to the flat kernel under the same
+        uniforms."""
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
+
+        p = _mk_problem(48, seed=12)
+        r = 64
+        base = FusedSweep(p, block_size=128, interpret=True)
+        fold = FusedSweep(p, block_size=128, interpret=True, folded=True)
+        k1, k2 = jax.random.split(key)
+        s = random_spins(k1, (r, p.n_padded), p.active_mask).T
+        u = jax.random.uniform(k2, (p.n_padded, r), jnp.float32)
+        beta = jnp.full((r,), 0.8, jnp.float32)
+        s_b, de_b, cnt_b = base.sweep_with_uniforms(s, beta, u)
+        s_f, de_f, cnt_f = fold.sweep_with_uniforms(s, beta, u)
+        np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_f))
+        np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_f))
+        np.testing.assert_allclose(np.asarray(de_b), np.asarray(de_f),
+                                   atol=1e-3)
