@@ -194,20 +194,23 @@ def bench_rl():
     on_tpu = jax.default_backend() == "tpu"
     n = 512 if on_tpu else 64
     n_envs = 256 if on_tpu else 16
-    # 32 updates = 2 warmup (compile + pipeline warmup, excluded) + 30
-    # steady-state, measured as 3 windows of 10; the reported value is the
-    # MEDIAN window rate, so one tunnel-latency hiccup can't move the
-    # headline (VERDICT r3 task 4: 12 updates let per-dispatch jitter
-    # dominate; round-over-round spread must be <15%)
-    n_updates = 32 if on_tpu else 8
-    n_warm = 2
+    # Protocol (VERDICT r3 task 4, round-over-round spread must be <15%):
+    # 8 updates scanned per dispatch (through the tunnel, per-dispatch
+    # latency is 30-45 ms and session-dependent — unbatched it dominated
+    # the number and back-to-back runs differed 18%), 1 warmup dispatch
+    # (compile) excluded, 32 steady-state updates measured as 3 windows;
+    # the reported value is the MEDIAN window rate.
+    kd = 8 if on_tpu else 2
+    n_updates = 40 if on_tpu else 8
+    n_warm = kd
     j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
                                  seed=SEED)
     problem = IsingProblem.from_dense(j)
     env_cfg = EnvConfig(n_envs=n_envs, sweeps_per_step=10, max_steps=50,
                         init_temp_range=(0.1, 20.0))
     ppo_cfg = ppo_mod.PPOConfig(n_updates=n_updates, rollout_len=8,
-                                hidden_sizes=(128, 128), seed=SEED)
+                                hidden_sizes=(128, 128), seed=SEED,
+                                updates_per_dispatch=kd)
     out = ppo_mod.train(problem, env_cfg, ppo_cfg)
     steps_per_update = ppo_cfg.rollout_len * env_cfg.n_envs
     steady = out["update_times"][n_warm:]
