@@ -41,8 +41,10 @@ PATH_TIMEOUT_S = int(os.environ.get("SPINGLASS_BENCH_TIMEOUT", "480"))
 # Now the dense headline gets up to the whole budget, each later path only
 # runs with whatever budget remains, and the combined JSON line is
 # re-printed (flushed) after EVERY path — so a kill at any point degrades
-# to "paths completed so far" instead of nothing.
-TOTAL_BUDGET_S = int(os.environ.get("SPINGLASS_BENCH_TOTAL", "420"))
+# to "paths completed so far" instead of nothing. 500 s leaves ~100 s of
+# margin under a 10-minute driver budget; measured good-day wall for all
+# five paths is ~435 s (compile times through the tunnel vary ~2x).
+TOTAL_BUDGET_S = int(os.environ.get("SPINGLASS_BENCH_TOTAL", "500"))
 # Don't start a path with less than this much budget left (a tunnel
 # process needs ~30 s just for imports + device acquisition).
 MIN_PATH_S = 60
@@ -98,12 +100,12 @@ def _run_all():
 
     Budgeting (VERDICT.md r3 item 1): dense gets up to the whole
     TOTAL_BUDGET_S; each later path runs only with the budget that
-    remains, else records "skipped: budget exhausted". Paths after dense
-    are ordered cheapest-compile-first (pt10k/ttt compile 16-replica PT
-    programs ~2-4 min wall through the tunnel; sparse compiles the
-    R=1024 SortedSparseT engine, measured ~7-11 min wall in a degraded
-    tunnel session; rl compiles the PPO train step). The combined line is
-    re-emitted after every path."""
+    remains, else records "skipped: budget exhausted". Path order after
+    dense: pt10k (cheapest + most reliable, ~60 s), sparse (headline
+    metric, ~100-130 s), ttt (largest wall VARIANCE — its while_loop
+    compile measured 40-170 s across sessions — so it must not starve the
+    headline paths), rl last. The combined line is re-emitted after every
+    path."""
     t0 = time.monotonic()
 
     def remaining():
@@ -125,8 +127,8 @@ def _run_all():
     dense.setdefault("extras", {})
     _emit(dense)
 
-    for name, flag in (("pt10k", "--pt10k"), ("ttt", "--ttt"),
-                       ("sparse", "--sparse"), ("rl", "--rl")):
+    for name, flag in (("pt10k", "--pt10k"), ("sparse", "--sparse"),
+                       ("ttt", "--ttt"), ("rl", "--rl")):
         rem = remaining()
         if rem < MIN_PATH_S:
             dense["extras"][name] = {

@@ -31,7 +31,9 @@ SEED = 42
 SPARSE_N = 10_000
 SPARSE_DEG = 6.0
 SPARSE_REPLICAS = 1024   # 64 chains x 16-replica ladders in PT terms
-SPARSE_SWEEPS = 400
+SPARSE_SWEEPS = 2000     # 400 sweeps left ~30% of the wall in per-dispatch
+# fixed costs through the tunnel (read 9.4 G when the marginal rate was
+# 13.7 G); 2000 sweeps ~ 1.5 s per timed call amortizes it to ~8%
 
 
 def _time_best(run, *args, trials=3):

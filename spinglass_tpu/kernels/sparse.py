@@ -556,12 +556,14 @@ def make_threshold_call(n_sorted: int, r: int, rule: str,
 
 def make_accept_call(mc: int, r: int, rule: str, off: int, spin_dtype,
                      interpret: bool = False):
-    """Fused per-color accept kernel (round-4 sparse perf lead): generates
-    acceptance thresholds from the on-chip PRNG, compares s*f < th, flips,
-    and accumulates dE/counts — all in one VMEM pass over the color slice.
-    Replaces the separate [NS, R] threshold kernel + 4-5 XLA elementwise
-    passes (threshold write+readback alone is ~80 MB of HBM traffic per
-    sweep at [10240, 1024]).
+    """Fused per-color accept kernel (round-4 experiment, NOT the default
+    — see SortedSparseTEngine.__init__): generates acceptance thresholds
+    from the on-chip PRNG, compares s*f < th, flips, and accumulates
+    dE/counts — all in one VMEM pass over the color slice, replacing the
+    separate [NS, R] threshold kernel + XLA elementwise passes (threshold
+    write+readback is ~80 MB of HBM traffic per sweep at [10240, 1024]).
+    Measured on v5e: the per-sweep n_colors pallas_call overheads cost
+    more than that traffic saves (1021-1027 vs 947-951 us/sweep).
 
     Mosaic note: selects on int8 values crash the TPU compiler
     (tpu_compile_helper exit 1, found r3); spins are widened to f32 on
@@ -775,11 +777,14 @@ class SortedSparseTEngine:
         self._use_pallas_rng = (threshold_rng == "pallas"
                                 or (threshold_rng == "auto"
                                     and jax.default_backend() == "tpu"))
-        # fused accept (r4): one Pallas pass does RNG+threshold+flip+reduce
-        # per color instead of a [NS, R] threshold round trip + XLA
-        # elementwise chain; needs the TPU PRNG, so same gating
-        self._use_fused_accept = accept_kernel == "fused" or (
-            accept_kernel == "auto" and self._use_pallas_rng)
+        # fused accept (r4 experiment): one Pallas pass does RNG+threshold+
+        # flip+reduce per color instead of the [NS, R] threshold round trip
+        # + XLA elementwise chain. MEASURED SLOWER on v5e at the bench
+        # shape (1021-1027 vs 947-951 us/sweep, interleaved min-of-5 at
+        # scan lengths 100/500): the ~n_colors per-sweep pallas_call
+        # overheads exceed the ~80 MB/sweep threshold-traffic saving.
+        # Off by default; kept as an option (correctness-tested on TPU).
+        self._use_fused_accept = accept_kernel == "fused"
         self._sweep = make_sorted_t_sweep(self.groups)
         self._sweep_fused = make_sorted_t_sweep_fused(
             self.groups, self.mask_col, self.rule, self.spin_dtype)
