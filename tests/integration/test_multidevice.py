@@ -355,6 +355,8 @@ class TestShardedPallas:
         assert not all(
             np.array_equal(tiles[0], tiles[d]) for d in range(1, n_dev))
 
+    @pytest.mark.slow  # bitwise-parity sibling of the (slow)
+    # sharded_t variant; energy_identity keeps non-slow coverage
     def test_sharded_pallas_decision_identity(self, mesh2):
         """Under the same host uniforms, the shard_map-wrapped kernel makes
         bitwise-identical flip decisions to the single-device kernel

@@ -180,6 +180,8 @@ class TestPallasKernel:
         np.testing.assert_allclose(np.asarray(de_x), np.asarray(de_p),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow  # per-replica beta also covered non-slow by
+    # test_sharded_pallas_energy_identity (beta [r]) and the TPU tier
     def test_pallas_per_replica_beta(self, key):
         from spinglass_tpu.kernels import metropolis_pallas as MP
 
