@@ -86,6 +86,43 @@ def _run_path_subprocess(flag: str, timeout_s: float) -> dict:
                      + " | ".join(tail[-3:])[:500]}
 
 
+def _run_group_subprocess(names, timeout_s: float) -> dict:
+    """Run several paths sequentially in ONE subprocess (`--group a,b,c`)
+    that prints a flushed {"path": name, ...} line as each completes.
+    One process = one backend init + device acquisition (~30 s through
+    the tunnel) instead of one per path. On timeout or crash, the lines
+    already printed are salvaged from the partial stdout — the r3 failure
+    mode (a stalled remote compile eating the budget with NOTHING
+    recorded) degrades to 'paths completed so far'."""
+    self_path = os.path.abspath(globals().get("__file__", "bench.py"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, self_path, "--group", ",".join(names)],
+            capture_output=True, text=True, timeout=timeout_s)
+        out, err_note = proc.stdout or "", None
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout.decode() if isinstance(e.stdout, bytes)
+               else e.stdout) or ""
+        err_note = f"group timeout after {timeout_s:.0f}s"
+    results = {}
+    for line in out.strip().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "path" in d:
+            results[d.pop("path")] = d
+    for name in names:
+        if name not in results:
+            results[name] = {"error": err_note
+                             or f"not reached (group exit "
+                                f"{proc.returncode})"}
+    return results
+
+
 def _emit(result: dict) -> None:
     """Print (flushed) one JSON line NOW. The driver takes the LAST
     parseable stdout line, so re-emitting the combined result after every
@@ -98,14 +135,15 @@ def _run_all():
     """Dense headline + pt10k/ttt/sparse/rl in extras (VERDICT.md r2 item 5:
     regressions on ANY path must be visible in the driver artifact).
 
-    Budgeting (VERDICT.md r3 item 1): dense gets up to the whole
-    TOTAL_BUDGET_S; each later path runs only with the budget that
-    remains, else records "skipped: budget exhausted". Path order after
-    dense: pt10k (cheapest + most reliable, ~60 s), sparse (headline
-    metric, ~100-130 s), ttt (largest wall VARIANCE — its while_loop
-    compile measured 40-170 s across sessions — so it must not starve the
-    headline paths), rl last. The combined line is re-emitted after every
-    path."""
+    Budgeting (VERDICT.md r3 item 1): dense runs in its own subprocess
+    first (isolated headline) with up to the whole TOTAL_BUDGET_S; the
+    four secondary paths then share ONE grouped subprocess (one backend
+    init instead of four, ~90 s saved) bounded by the remaining budget,
+    with per-path lines salvaged from partial stdout if the group stalls.
+    Group order: pt10k (most reliable), sparse (headline metric), rl,
+    ttt last (its while_loop compile has the largest variance through the
+    tunnel — 40 s to 240+ s across sessions — so a stall there costs
+    nothing else). The combined line is re-emitted after every stage."""
     t0 = time.monotonic()
 
     def remaining():
@@ -127,23 +165,25 @@ def _run_all():
     dense.setdefault("extras", {})
     _emit(dense)
 
-    for name, flag in (("pt10k", "--pt10k"), ("sparse", "--sparse"),
-                       ("ttt", "--ttt"), ("rl", "--rl")):
-        rem = remaining()
-        if rem < MIN_PATH_S:
+    names = ("pt10k", "sparse", "rl", "ttt")
+    rem = remaining()
+    if rem < MIN_PATH_S:
+        for name in names:
             dense["extras"][name] = {
                 "error": f"skipped: budget exhausted ({rem:.0f}s left of "
                          f"{TOTAL_BUDGET_S}s total)"}
-            _emit(dense)
-            continue
-        sub = _run_path_subprocess(flag, min(PATH_TIMEOUT_S, rem))
+        _emit(dense)
+        return dense
+    group = _run_group_subprocess(names, rem)
+    for name in names:
+        sub = group[name]
         if "error" in sub:
             dense["extras"][name] = sub
         else:
             dense["extras"][name] = {k: sub[k] for k in
                                      ("metric", "value", "unit")}
             dense["extras"][name].update(sub.get("extras", {}))
-        _emit(dense)
+    _emit(dense)
     return dense
 
 
@@ -162,6 +202,9 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="(default) run all benches; dense headline with "
                          "the others in extras")
+    ap.add_argument("--group", type=str, default="",
+                    help="run several paths in THIS process, one flushed "
+                         "{'path': name, ...} line each (used by --all)")
     args = ap.parse_args()
     # honor JAX_PLATFORMS=cpu even where a sitecustomize sets the platform
     # programmatically (required for the env var to reach the --all
@@ -177,6 +220,18 @@ def main():
 
     from spinglass_tpu.benchmarks import headline
 
+    if args.group:
+        fns = {"dense": headline.bench_dense, "sparse": headline.bench_sparse,
+               "pt10k": headline.bench_pt10k, "ttt": headline.bench_ttt,
+               "rl": headline.bench_rl}
+        for name in args.group.split(","):
+            name = name.strip()
+            try:
+                res = fns[name]()
+            except Exception as exc:  # keep going; later paths still run
+                res = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+            print(json.dumps({"path": name, **res}), flush=True)
+        return
     if args.sparse:
         print(json.dumps(headline.bench_sparse()))
     elif args.pt10k:
