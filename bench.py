@@ -104,6 +104,16 @@ def _run_group_subprocess(names, timeout_s: float) -> dict:
         out = (e.stdout.decode() if isinstance(e.stdout, bytes)
                else e.stdout) or ""
         err_note = f"group timeout after {timeout_s:.0f}s"
+    return _parse_group_lines(
+        out, names,
+        err_note or f"not reached (group exit {proc.returncode})")
+
+
+def _parse_group_lines(out: str, names, missing_error: str) -> dict:
+    """Map each path name to its {'path': name, ...} stdout line; paths
+    with no parseable line get {'error': missing_error}. Tolerates junk
+    lines and truncated JSON (the salvage path reads a killed process's
+    partial stdout)."""
     results = {}
     for line in out.strip().splitlines():
         line = line.strip()
@@ -117,9 +127,7 @@ def _run_group_subprocess(names, timeout_s: float) -> dict:
             results[d.pop("path")] = d
     for name in names:
         if name not in results:
-            results[name] = {"error": err_note
-                             or f"not reached (group exit "
-                                f"{proc.returncode})"}
+            results[name] = {"error": missing_error}
     return results
 
 

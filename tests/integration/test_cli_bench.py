@@ -109,3 +109,42 @@ class TestQualityGates:
         assert r.exit_code == 0, r.output
         rep = json.load(open(out))
         assert rep["summary"]["total"] == 3
+
+
+class TestBenchGroupSalvage:
+    """bench.py --all's grouped secondary paths: per-path lines must be
+    recoverable from a killed group's PARTIAL stdout (the r3 driver
+    artifact was parsed:null precisely because nothing partial survived a
+    timeout)."""
+
+    def _bench_mod(self):
+        import importlib.util
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(repo, "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_parse_complete_and_missing(self):
+        b = self._bench_mod()
+        out = (
+            '{"path": "pt10k", "metric": "m", "value": 1.0, "unit": "s"}\n'
+            "some stray log line\n"
+            '{"path": "sparse", "metric": "m", "value": 2.0, "unit": "f"}\n'
+            '{"path": "rl", "metric": "m", "va'   # truncated by the kill
+        )
+        r = b._parse_group_lines(out, ("pt10k", "sparse", "rl", "ttt"),
+                                 "group timeout after 12s")
+        assert r["pt10k"]["value"] == 1.0
+        assert r["sparse"]["value"] == 2.0
+        assert r["rl"] == {"error": "group timeout after 12s"}
+        assert r["ttt"] == {"error": "group timeout after 12s"}
+
+    def test_in_path_error_lines_pass_through(self):
+        b = self._bench_mod()
+        out = '{"path": "ttt", "error": "RuntimeError: hash mismatch"}'
+        r = b._parse_group_lines(out, ("ttt",), "unused")
+        assert "hash mismatch" in r["ttt"]["error"]
