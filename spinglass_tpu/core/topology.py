@@ -189,9 +189,9 @@ def greedy_coloring_coo(rows: np.ndarray, cols: np.ndarray, n: int,
     indptr = np.zeros(n + 1, np.int64)
     np.add.at(indptr, r_s + 1, 1)
     indptr = np.cumsum(indptr)
-    if native.available() and not balanced:
+    if native.available():
         return native.greedy_coloring_csr(indptr, c_s.astype(np.int64), n,
-                                          max_colors)
+                                          max_colors, balanced=balanced)
     colors = np.full(n, -1, dtype=np.int64)
     deg = np.diff(indptr)
     class_size = np.zeros(max_colors, np.int64)

@@ -66,6 +66,50 @@ int64_t greedy_coloring(const int64_t* indptr, const int64_t* indices,
   return n_colors;
 }
 
+// Balanced (equitable-ish) greedy coloring: among feasible ALREADY-OPENED
+// colors pick the smallest class (ties -> lowest index); open a new color
+// only when every opened one is blocked. Semantics match the Python
+// fallback in core/topology.py greedy_coloring_coo(balanced=True) exactly
+// (same descending-degree stable order, same tie-breaks), so native and
+// fallback paths produce IDENTICAL colorings — layouts and checkpoints
+// must not depend on which path compiled. Returns n_colors, -1 on
+// overflow. used_mark is timestamped with the visit index to avoid a
+// per-vertex O(max_colors) refill.
+int64_t greedy_coloring_balanced(const int64_t* indptr,
+                                 const int64_t* indices, int64_t n,
+                                 int64_t max_colors, int64_t* colors) {
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return (indptr[a + 1] - indptr[a]) > (indptr[b + 1] - indptr[b]);
+  });
+  std::fill(colors, colors + n, -1);
+  std::vector<int64_t> class_size(static_cast<size_t>(max_colors), 0);
+  std::vector<int64_t> used_mark(static_cast<size_t>(max_colors), -1);
+  int64_t opened = 0;
+  for (int64_t oi = 0; oi < n; ++oi) {
+    int64_t v = order[oi];
+    for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+      int64_t c = colors[indices[p]];
+      if (c >= 0) used_mark[static_cast<size_t>(c)] = oi;
+    }
+    int64_t best = -1;
+    for (int64_t c = 0; c < opened; ++c) {
+      if (used_mark[static_cast<size_t>(c)] != oi &&
+          (best < 0 || class_size[static_cast<size_t>(c)] <
+                           class_size[static_cast<size_t>(best)]))
+        best = c;
+    }
+    if (best < 0) {
+      if (opened >= max_colors) return -1;
+      best = opened++;
+    }
+    colors[v] = best;
+    class_size[static_cast<size_t>(best)]++;
+  }
+  return opened;
+}
+
 // Batch cardinality-constraint expansion: for constraint c over support
 // indices[offsets[c]:offsets[c+1]] with target t_c and weight w_c, emit the
 // quadratic pair terms of w * (sum s - t)^2 (value -2*w per unordered pair,
