@@ -493,6 +493,7 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     # which engine wrote the checkpoint and fail with pinning advice on
     # mismatch rather than a cryptic shape error (ADVICE.md r3 #5).
     meta_path = os.path.join(checkpoint_dir, "engine_meta.json")
+    wrote_meta = resume  # resume keeps the existing (matching) sidecar
     if os.path.exists(meta_path):
         import json as _json
 
@@ -537,13 +538,18 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
                             **merged)
         mgr.maybe_save(done_super, {"state": jax.device_get(state),
                                     "done_super": np.int64(done_super)})
-        if not os.path.exists(meta_path):
+        if not wrote_meta:
+            # (re)write on the first save of THIS run unless resuming: a
+            # fresh run reusing the directory overwrites the checkpoints,
+            # so a kept-if-exists sidecar would go stale and misdescribe
+            # them (found in r4 review)
             import json as _json
 
             with open(meta_path, "w") as f:
                 _json.dump({"engine": engine.name,
                             "sweep_method": cfg.sweep_method,
                             "update_rule": cfg.update_rule}, f)
+            wrote_meta = True
     total = time.perf_counter() - t0
 
     hist = hists[0]

@@ -59,11 +59,22 @@ def _run_procs(nproc: int, outdir: str, n_spins: int,
         for i in range(nproc)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out.decode(errors="replace"))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        # a failed or hung worker must not orphan its siblings: they sit
+        # forever in a collective with a dead peer, pinned to a core and
+        # holding the coordinator port (r4 review)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    for i, p in enumerate(procs):
         if p.returncode != 0:
-            raise RuntimeError(f"worker rc={p.returncode}:\n{out[-2000:]}")
+            raise RuntimeError(
+                f"worker {i} rc={p.returncode}:\n{outs[i][-2000:]}")
     reports = []
     for i in range(nproc):
         with open(os.path.join(outdir, f"proc{i}.json")) as f:
@@ -120,28 +131,34 @@ def measure(n_spins: int = 512, tmpdir: str | None = None) -> dict:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "MULTIHOST_scaling.json"
-    # Two sizes expose the structure: the cross-process cost is a FIXED
-    # per-super-step collective latency (localhost TCP here), so efficiency
-    # climbs toward 1 as per-sweep compute grows — at the 10k-spin headline
-    # workload the same fixed cost is negligible. Report both.
+    # Two sizes expose the overhead structure. On a QUIET box two
+    # consecutive runs agree: ~10-15 ms/super-step of roughly constant
+    # localhost-transport latency, so efficiency RISES with per-sweep
+    # compute (92-93% at n=512, ~97% at n=2048); the compiled HLO's
+    # collectives are O(R) ([1,8] payloads, verified at n=64 and n=2048).
+    # CAVEAT: any concurrent load on this 2-core machine inflates the
+    # 2-process run disproportionately (one contaminated session measured
+    # 75% at n=2048 with 0.111 s/step) — rerun on an idle box before
+    # trusting a low number.
     runs = {n: measure(n_spins=n) for n in (512, 2048)}
     sizes = sorted(runs)
     summary = {
-        "headline_efficiency": runs[sizes[-1]]["efficiency"],
-        "headline_n_spins": sizes[-1],
         "efficiency_by_n_spins": {str(n): runs[n]["efficiency"]
                                   for n in sizes},
         "per_super_step_overhead_seconds": {
             str(n): (runs[n]["two_process"][0]["seconds"]
                      - runs[n]["single_process"]["seconds"]) / 10
             for n in sizes},
-        "interpretation": ("per-super-step overhead is the CPU-gloo "
-                           "transport: the compiled HLO's collectives are "
-                           "O(R) ([1,8] s32/f32 payloads, verified at "
-                           "n=64 and n=2048), so the overhead is "
-                           "per-collective latency on this localhost rig, "
-                           "not payload volume; on ICI the same O(R) "
-                           "exchange is microseconds"),
+        "interpretation": ("collectives are O(R) in the compiled HLO "
+                           "([1,8] s32/f32 payloads, verified at n=64 and "
+                           "n=2048); the ~10-15 ms/super-step residual is "
+                           "roughly constant localhost-transport latency, "
+                           "so efficiency rises with per-sweep compute. "
+                           "Numbers require an IDLE box: concurrent load "
+                           "on this 2-core rig inflates the 2-process run "
+                           "disproportionately (a contaminated session "
+                           "read 75% at n=2048). On a pod the same O(R) "
+                           "exchange rides us-scale ICI"),
         "runs": {str(n): runs[n] for n in sizes},
     }
     with open(out_path, "w") as f:

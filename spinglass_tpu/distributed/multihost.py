@@ -112,14 +112,19 @@ def scaling_report(flips_per_sec_per_host: Sequence[float],
     rates = np.asarray(list(flips_per_sec_per_host), float)
     if rates.size == 0:
         return {"n_hosts": 0, "efficiency": 0.0}
-    base = float(baseline_rate) if baseline_rate else float(rates[0])
+    # `is not None`, not truthiness: an explicit 0.0 baseline means the
+    # single-host measurement FAILED and must surface as efficiency 0,
+    # not silently fall back to load-balance-only mode (the falsy-zero
+    # class ADVICE r3 #4 flagged in quality_gates)
+    explicit = baseline_rate is not None
+    base = float(baseline_rate) if explicit else float(rates[0])
     ideal = base * len(rates)
     return {
         "n_hosts": int(rates.size),
         "total_flips_per_sec": float(rates.sum()),
         "efficiency": float(rates.sum() / ideal) if ideal else 0.0,
         "baseline_flips_per_sec": base,
-        "baseline_kind": ("measured_single_host" if baseline_rate
+        "baseline_kind": ("measured_single_host" if explicit
                           else "first_host"),
         "per_host": rates.tolist(),
     }

@@ -489,11 +489,18 @@ def build_sorted_t(ell: EllProblem, colors: np.ndarray, n_buckets: int = 12,
             bidx = np.zeros((m_pad, k), np.int64)
             bval = np.zeros((m_pad, k), np.float32)
             bh = np.zeros(m_pad, np.float32)
-            for r, node in enumerate(nodes):
-                nz = np.nonzero(val_np[node])[0]
-                bidx[r, : len(nz)] = inv_map[idx_np[node, nz]]
-                bval[r, : len(nz)] = val_np[node, nz]
-                bh[r] = h_np[node]
+            # vectorized per-row nonzero compaction (same stable argsort
+            # trick as build_sorted_buckets — the per-row np.nonzero loop
+            # cost ~8 s at 1M rows; found duplicated here in r4 review)
+            m = len(nodes)
+            rows_val = val_np[nodes]
+            rows_idx = idx_np[nodes]
+            colorder = np.argsort(rows_val == 0, axis=1, kind="stable")
+            v_c = np.take_along_axis(rows_val, colorder, axis=1)[:, :k]
+            i_c = np.take_along_axis(rows_idx, colorder, axis=1)[:, :k]
+            bidx[:m] = np.where(v_c != 0, inv_map[i_c], 0)
+            bval[:m] = v_c
+            bh[:m] = h_np[nodes]
             bl.append(TBucket(start, bidx, bval, bh))
             span_size += m_pad
         groups.append((span_start, span_size, bl))
@@ -787,6 +794,13 @@ class SortedSparseTEngine:
         # overheads exceed the ~80 MB/sweep threshold-traffic saving.
         # Off by default; kept as an option (correctness-tested on TPU).
         self._use_fused_accept = accept_kernel == "fused"
+        if self._use_fused_accept and jax.default_backend() != "tpu":
+            # no CPU path exists: pltpu.prng_seed has no CPU lowering even
+            # in interpret mode — fail at construction, not mid-sweep
+            raise ValueError(
+                "accept_kernel='fused' requires a TPU backend (the "
+                "kernel's on-chip PRNG has no CPU lowering); use the "
+                "default threshold path off-TPU")
         self._sweep = make_sorted_t_sweep(self.groups)
         self._sweep_fused = make_sorted_t_sweep_fused(
             self.groups, self.mask_col, self.rule, self.spin_dtype)

@@ -125,8 +125,14 @@ class SpinGlassGymEnv(gymnasium.Env if gymnasium else object):
                                   np.float32).reshape(1))}
         self._key, k = jax.random.split(self._key)
         self._state, obs, reward, done = self._step_fn(self._state, act, k)
+        # independent flags (gymnasium allows both True): plateau is the
+        # MDP's absorbing state -> terminated; the step budget -> truncated.
+        # Deriving terminated as done && !truncated would hide a genuine
+        # plateau-termination landing exactly on the budget step, making
+        # external learners bootstrap a terminal state (r4 review).
         truncated = bool(self._state.step[0] >= self.cfg.max_steps)
-        terminated = bool(done[0]) and not truncated
+        terminated = bool(self._state.plateau[0]
+                          >= self.cfg.plateau_patience)
         return (np.asarray(obs[0]), float(reward[0]), terminated, truncated,
                 self._info())
 
