@@ -29,13 +29,50 @@ from spinglass_tpu.kernels import sweeps as sweep_kernels
 
 
 class SweepEngine:
-    """Base: sweep(spins, beta, key) -> (spins, dE[R], n_accepted[R])."""
+    """Base: sweep(spins, beta, key) -> (spins, dE[R], n_accepted[R]).
+
+    Jit-boundary contract (round 4): an engine's device arrays must cross
+    jit as ARGUMENTS, not closure constants — closure-captured arrays get
+    embedded in the HLO, which measured 64 s vs 9 s compile for the dense
+    headline program on the tunneled v5e (the J matrix et al. ride along
+    with every compile and serialize into ~278 MB executables), and
+    oversized N=8192 programs were rejected outright (HTTP 413).
+    Drivers therefore do::
+
+        ops = engine.operands()              # pytree of arrays (host, once)
+        @jax.jit
+        def step(state, ops):
+            eng = engine.bind(ops)           # shallow copy, traced arrays
+            ... eng.sweep(...)
+        step(state, ops)
+
+    ``operands()`` returns the engine's array pytree; ``bind(ops)`` returns
+    a shallow copy whose arrays are the (traced) values from ``ops``.
+    Structural data (offsets, shapes, configs) stays in the closure — it
+    must remain static."""
 
     layout = "rn"
     name = "base"
+    _operand_attrs: Tuple[str, ...] = ("problem",)
 
     def __init__(self, problem: IsingProblem):
         self.problem = problem
+
+    def operands(self):
+        return {a: getattr(self, a) for a in self._operand_attrs}
+
+    def bind(self, ops):
+        import copy
+
+        eng = copy.copy(self)
+        for a in self._operand_attrs:
+            setattr(eng, a, ops[a])
+        eng._rebind()
+        return eng
+
+    def _rebind(self) -> None:
+        """Hook for subclasses whose sweep closures capture operand arrays
+        (rebuild them from the now-bound attributes)."""
 
     def to_layout(self, spins_rn: jax.Array) -> jax.Array:
         return spins_rn.T if self.layout == "nr" else spins_rn
@@ -60,6 +97,8 @@ class ColoredEngine(SweepEngine):
     """Vectorized same-color simultaneous updates (exact for proper colorings)."""
 
     name = "colored"
+
+    _operand_attrs = ("problem", "masks")
 
     def __init__(self, problem: IsingProblem, colors: np.ndarray,
                  rule: str = "metropolis"):
@@ -117,6 +156,16 @@ class PallasEngine(SweepEngine):
         seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         return self.fused(spins_t, beta, seed)
+
+    def operands(self):
+        d = super().operands()
+        d["fused"] = self.fused.operands()
+        return d
+
+    def bind(self, ops):
+        eng = super().bind(ops)
+        eng.fused = self.fused.bind(ops["fused"])
+        return eng
 
 
 SPARSE_DENSITY_THRESHOLD = 0.05

@@ -258,17 +258,26 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
 
         sw = SwendsenWang(problem)
 
-    def super_step(state: PTState, _, betas=betas_ladder):
+    def super_step(state: PTState, _, betas=betas_ladder, eng_ops=None,
+                   prob=None):
         # `betas` may be passed at call time (a traced runtime value), so one
         # compiled executable serves every ladder — ladder tuning iterates
-        # without re-compiles
+        # without re-compiles. `eng_ops`/`prob`: the engine's array pytree
+        # and the problem passed as TRACED arguments — closure-embedding
+        # them bakes J into the HLO (64 s vs 9 s compile measured for the
+        # dense headline; see engines.SweepEngine docstring). Callers that
+        # jit the super-step should pass engine.operands() and the problem
+        # pytree through their jit boundary.
+        eng = engine.bind(eng_ops) if eng_ops is not None else engine
+        prb = prob if prob is not None else problem
+
         def one_sweep(st: PTState, _):
             key, ku = jax.random.split(st.key)
             beta = betas[st.slot]
-            spins, de, cnt = engine.sweep(st.spins, beta, ku)
+            spins, de, cnt = eng.sweep(st.spins, beta, ku)
             energy = st.energy + de
             improved = energy < st.best_energy
-            imp_b = (improved[None, :] if engine.layout == "nr"
+            imp_b = (improved[None, :] if eng.layout == "nr"
                      else improved[:, None])
             return st.replace(
                 spins=spins,
@@ -284,17 +293,17 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
         if sw is not None:
             # cluster-move mix: Swendsen-Wang sweeps at each replica's
             # current temperature (detailed balance preserved per replica)
-            s_rn = engine.from_layout(state.spins)
+            s_rn = eng.from_layout(state.spins)
             de_cl = jnp.zeros((s_rn.shape[0],), jnp.float32)
             for _ in range(cfg.cluster_moves):
                 key, kc = jax.random.split(state.key)
                 state = state.replace(key=key)
                 s_rn, de_i, _ = sw.sweep(s_rn, betas[state.slot], kc)
                 de_cl = de_cl + de_i
-            new_spins = engine.to_layout(s_rn)
+            new_spins = eng.to_layout(s_rn)
             energy = state.energy + de_cl
             improved = energy < state.best_energy
-            imp_b = (improved[None, :] if engine.layout == "nr"
+            imp_b = (improved[None, :] if eng.layout == "nr"
                      else improved[:, None])
             state = state.replace(
                 spins=new_spins, energy=energy,
@@ -311,7 +320,7 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
                                   n_chains=cfg.n_chains)
         # resync exact energies once per super-step (f32 drift hygiene)
         state = state.replace(
-            energy=_energy_in_layout(problem, engine, state.spins))
+            energy=_energy_in_layout(prb, eng, state.spins))
         e_c = state.energy.reshape(cfg.n_chains, cfg.n_replicas)
         inv_c = jnp.argsort(state.slot.reshape(cfg.n_chains,
                                                cfg.n_replicas), axis=1)
@@ -366,16 +375,21 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
         # super-step scan, and best-replica selection all happen on device —
         # separate init/result dispatches cost 30-45 ms each through a
         # remote-TPU tunnel and dominated 10k-spin PT wall time.
+        # prob/eng_ops are TRACED arguments so J and the engine's arrays
+        # are runtime operands, not HLO constants (compile 64 s -> 9 s on
+        # the tunneled v5e; oversized N>=8192 programs were rejected)
         @jax.jit
-        def run_all(key, betas):
-            state = init_state(problem, cfg, key, engine)
+        def run_all(key, betas, prob, eng_ops):
+            eng = engine.bind(eng_ops)
+            state = init_state(prob, cfg, key, eng)
 
             def step(st, x):
-                return super_step(st, x, betas=betas)
+                return super_step(st, x, betas=betas, eng_ops=eng_ops,
+                                  prob=prob)
 
             state, hist = lax.scan(step, state, None, length=n_super)
             best_r = jnp.argmin(state.best_energy)
-            best_spins = engine.from_layout(state.best_spins)[best_r]
+            best_spins = eng.from_layout(state.best_spins)[best_r]
             return {
                 "best_spins": best_spins,
                 "best_energy": jnp.min(state.best_energy),
@@ -400,7 +414,8 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
         key = jax.random.key(cfg.seed)
 
     t0 = time.perf_counter()
-    out = jax.device_get(run_all(key, betas_ladder))   # one dispatch, one read
+    out = jax.device_get(run_all(key, betas_ladder, problem,
+                                 engine.operands()))  # one dispatch, one read
     total = time.perf_counter() - t0
     return _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
 
@@ -461,13 +476,14 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
         super_step, _, engine = make_pt_step(problem, cfg)
 
         @jax.jit
-        def init_jit(key, betas):
-            return init_state(problem, cfg, key, engine)
+        def init_jit(key, betas, prob, eng_ops):
+            return init_state(prob, cfg, key, engine.bind(eng_ops))
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def segment(state, betas, n_steps):
+        def segment(state, betas, prob, eng_ops, n_steps):
             def step(st, x):
-                return super_step(st, x, betas=betas)
+                return super_step(st, x, betas=betas, eng_ops=eng_ops,
+                                  prob=prob)
 
             return lax.scan(step, state, None, length=n_steps)
 
@@ -483,7 +499,8 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     if key is None:
         key = jax.random.key(cfg.seed)
 
-    state = init_jit(key, betas_ladder)
+    eng_ops = engine.operands()
+    state = init_jit(key, betas_ladder, problem, eng_ops)
     hists: list = []
     done_super = 0
     mgr = CheckpointManager(checkpoint_dir, every=1, use_orbax=False)
@@ -528,7 +545,8 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     t0 = time.perf_counter()
     while done_super < n_super:
         n_steps = min(checkpoint_every, n_super - done_super)
-        state, hist = segment(state, betas_ladder, n_steps=n_steps)
+        state, hist = segment(state, betas_ladder, problem, eng_ops,
+                              n_steps=n_steps)
         hists.append(jax.device_get(hist))
         done_super += n_steps
         merged = {k: np.concatenate([h[k] for h in hists])

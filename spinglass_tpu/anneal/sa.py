@@ -196,7 +196,14 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
 
     def _build():
         engine = make_sweep_engine(problem, config)
-        chunk = partial(run_chunk, problem, config, engine)
+
+        # prob/eng_ops as TRACED args: closure-embedding the problem and
+        # engine arrays bakes J into the HLO as constants (compile 64 s vs
+        # 9 s measured; see engines.SweepEngine docstring)
+        def chunk(state, prob, eng_ops, n_sweeps):
+            return run_chunk(prob, config, engine.bind(eng_ops), state,
+                             n_sweeps)
+
         return engine, jax.jit(chunk, static_argnames=("n_sweeps",))
 
     # reuse engine + compiled chunk across anneal() calls for the same
@@ -207,6 +214,7 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
                                                 _build)
 
     state = init_state(problem, config, engine, key, init_spins)
+    eng_ops = engine.operands()
     n_chunks = max(1, -(-config.n_sweeps // config.record_interval))
     e_hist, me_hist, t_hist, a_hist = [], [], [], []
     converged, conv_sweep = False, None
@@ -236,7 +244,7 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
         n = min(config.record_interval, config.n_sweeps - sweeps_done)
         if n <= 0:
             break
-        state, stats = chunk_jit(state, n_sweeps=n)
+        state, stats = chunk_jit(state, problem, eng_ops, n_sweeps=n)
         sweeps_done += n
         e_hist.append(float(stats["best_energy"]))
         me_hist.append(float(stats["mean_energy"]))

@@ -75,17 +75,21 @@ def bench_dense():
         random_spins(key, (r, problem.n_padded), problem.active_mask))
     beta = jnp.float32(1.0)
 
+    # eng_ops as a traced arg keeps J out of the HLO (engines.SweepEngine
+    # jit-boundary contract; compile 64 s -> 9 s measured for this program)
     @jax.jit
-    def run(s, key):
+    def run(s, key, eng_ops):
+        eng = engine.bind(eng_ops)
+
         def body(carry, k):
             s, _ = carry
-            s, de, cnt = engine.sweep(s, beta, k)
+            s, de, cnt = eng.sweep(s, beta, k)
             return (s, cnt), None
         (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
                                    jax.random.split(key, sweeps))
         return s, cnt
 
-    best = _time_best(run, spins, jax.random.key(1))
+    best = _time_best(run, spins, jax.random.key(1), engine.operands())
     flips = sweeps * r * n
     fps = flips / best
     # MFU-style accounting: each sweep's local fields cost 2*N^2*R flops on
@@ -128,16 +132,18 @@ def bench_sparse():
     beta = jnp.float32(1.0)
 
     @jax.jit
-    def run(s, key):
+    def run(s, key, eng_ops):
+        eng = engine.bind(eng_ops)
+
         def body(carry, k):
             s, _ = carry
-            s, de, cnt = engine.sweep(s, beta, k)
+            s, de, cnt = eng.sweep(s, beta, k)
             return (s, cnt), None
         (s, cnt), _ = jax.lax.scan(body, (s, jnp.zeros((r,), jnp.int32)),
                                    jax.random.split(key, sweeps))
         return s, cnt
 
-    best = _time_best(run, spins, jax.random.key(1))
+    best = _time_best(run, spins, jax.random.key(1), engine.operands())
     flips = sweeps * r * n
     fps = flips / best
     return {

@@ -139,14 +139,16 @@ def time_to_target(problem, target_energy: float, cfg=None,
     threshold = target_energy + rel_gap * abs(target_energy)
     max_super = max(1, max_sweeps // cfg.exchange_interval)
 
-    def solve(state):
+    # prob/eng_ops as traced args (engines.SweepEngine jit-boundary
+    # contract): keeps the instance arrays out of the compiled HLO
+    def solve(state, prob, eng_ops):
         def cond(carry):
             _, n_super, best = carry
             return (best > threshold) & (n_super < max_super)
 
         def body(carry):
             st, n_super, best = carry
-            st, stats = super_step(st, None)
+            st, stats = super_step(st, None, eng_ops=eng_ops, prob=prob)
             return (st, n_super + 1,
                     jnp.minimum(best, stats["best_energy"]))
 
@@ -160,16 +162,17 @@ def time_to_target(problem, target_energy: float, cfg=None,
         keys = [key if key is not None else jax.random.key(cfg.seed)]
     states = [pt_mod.init_state(problem, cfg, k, engine) for k in keys]
 
+    eng_ops = engine.operands()
     solve_fn = jax.jit(solve)
     if warm:
         # AOT compile: lowers + compiles the executable without running the
         # up-to-max_sweeps solve (all states share one shape/dtype struct)
-        solve_fn = solve_fn.lower(states[0]).compile()
+        solve_fn = solve_fn.lower(states[0], problem, eng_ops).compile()
 
     runs = []
     for st0 in states:
         t0 = time.perf_counter()
-        n_super, best_d = solve_fn(st0)
+        n_super, best_d = solve_fn(st0, problem, eng_ops)
         jax.block_until_ready(best_d)
         elapsed = time.perf_counter() - t0
         best = float(best_d)

@@ -626,6 +626,25 @@ class FusedSweep:
         self.mask_col = jnp.where(problem.active_mask > 0, 0.0, 2.0)[:, None]
         self._calls = {}
 
+    def operands(self):
+        """Array pytree for jit-argument passing (see
+        anneal.engines.SweepEngine docstring: closure-embedded J measured
+        64 s vs 9 s compile and oversized the N=8192 program)."""
+        d = {"j32": self.j32, "jbb_all": self.jbb_all,
+             "jbb_od_all": self.jbb_od_all, "h_col": self.h_col,
+             "mask_col": self.mask_col}
+        if self.jsub_all is not None:
+            d["jsub_all"] = self.jsub_all
+        return d
+
+    def bind(self, ops):
+        import copy
+
+        eng = copy.copy(self)           # shares _calls (shape-keyed, pure)
+        for k, v in ops.items():
+            setattr(eng, k, v)
+        return eng
+
     def _call(self, r: int, kernel_rng: bool):
         key = (r, kernel_rng)
         if key not in self._calls:

@@ -877,6 +877,27 @@ class SortedSparseTEngine:
         th = jnp.where(self.mask_col < 0, -jnp.inf, th)
         return self._sweep(spins_t, th)
 
+    # jit-boundary contract (anneal.engines.SweepEngine docstring)
+    def operands(self):
+        return {"ell": self.ell, "mask_col": self.mask_col,
+                "_perm_gather": self._perm_gather,
+                "_inv_map_j": self._inv_map_j,
+                "buckets": _bucket_arrays(self.groups)}
+
+    def bind(self, ops):
+        import copy
+
+        eng = copy.copy(self)
+        eng.ell = ops["ell"]
+        eng.mask_col = ops["mask_col"]
+        eng._perm_gather = ops["_perm_gather"]
+        eng._inv_map_j = ops["_inv_map_j"]
+        eng.groups = _rebind_groups(self.groups, ops["buckets"])
+        eng._sweep = make_sorted_t_sweep(eng.groups)
+        eng._sweep_fused = make_sorted_t_sweep_fused(
+            eng.groups, eng.mask_col, eng.rule, eng.spin_dtype)
+        return eng
+
 
 class SparseEngine:
     """Sweep engine over ELL problems (engines.SweepEngine contract,
@@ -931,6 +952,43 @@ class SparseEngine:
                 self.ell, self.groups, spins, beta, uniforms, rule=self.rule)
         return sparse_colored_sweep(self.ell, self.masks, spins, beta,
                                     uniforms, rule=self.rule)
+
+    # jit-boundary contract (anneal.engines.SweepEngine docstring);
+    # ColorGroups is a flax pytree so it passes wholesale
+    def operands(self):
+        return {"ell": self.ell, "masks": self.masks, "groups": self.groups}
+
+    def bind(self, ops):
+        import copy
+
+        eng = copy.copy(self)
+        eng.ell = ops["ell"]
+        eng.masks = ops["masks"]
+        eng.groups = ops["groups"]
+        return eng
+
+
+def _bucket_arrays(groups):
+    """Flat list of (idx, val, h) per bucket — the operand leaves of a
+    sorted-layout engine (see anneal.engines.SweepEngine jit-boundary
+    contract; bucket OFFSETS stay static in the closure)."""
+    return [(b.idx, b.val, b.h) for _, _, bs in groups for b in bs]
+
+
+def _rebind_groups(groups, arrays):
+    """Same group structure, bucket arrays replaced by (traced) values."""
+    import copy
+
+    it = iter(arrays)
+    out = []
+    for off, size, bs in groups:
+        nbs = []
+        for b in bs:
+            nb = copy.copy(b)
+            nb.idx, nb.val, nb.h = next(it)
+            nbs.append(nb)
+        out.append((off, size, nbs))
+    return out
 
 
 class SortedSparseEngine:
@@ -1010,3 +1068,21 @@ class SortedSparseEngine:
         """Deterministic-uniform entry for tests (uniforms already in the
         sorted layout: sorted position p consumes uniforms[:, p])."""
         return self._sweep(spins, beta, uniforms_sorted)
+
+    # jit-boundary contract (anneal.engines.SweepEngine docstring)
+    def operands(self):
+        return {"ell_sorted": self.ell_sorted, "_perm_j": self._perm_j,
+                "_inv_perm_j": self._inv_perm_j,
+                "buckets": _bucket_arrays(self.color_groups)}
+
+    def bind(self, ops):
+        import copy
+
+        eng = copy.copy(self)
+        eng.ell_sorted = ops["ell_sorted"]
+        eng._perm_j = ops["_perm_j"]
+        eng._inv_perm_j = ops["_inv_perm_j"]
+        eng.color_groups = _rebind_groups(self.color_groups, ops["buckets"])
+        eng._sweep = make_sorted_sweep(eng.color_groups,
+                                       self.ell.n_padded, rule=self.rule)
+        return eng
