@@ -113,6 +113,15 @@ class ShardedPallasEngine:
         """Host-uniform sweep (sharded-vs-single decision-identity tests)."""
         return self._sweep_u_shmap(spins_t, beta, uniforms_t)
 
+    # jit-boundary contract (anneal.engines.SweepEngine docstring): the
+    # wrapper's operands are the inner engine's; bind rebuilds the
+    # shard_map closures around the bound inner engine (cheap)
+    def operands(self):
+        return self.inner.operands()
+
+    def bind(self, ops):
+        return type(self)(self.inner.bind(ops), self.mesh, self.axis)
+
 
 class ShardedSortedTEngine:
     """shard_map wrapper for the transposed sparse engine
@@ -171,6 +180,15 @@ class ShardedSortedTEngine:
         """Host-uniform sweep (sharded-vs-single decision-identity tests)."""
         return self._sweep_u_shmap(spins_t, beta, uniforms_t)
 
+    # jit-boundary contract (anneal.engines.SweepEngine docstring): the
+    # wrapper's operands are the inner engine's; bind rebuilds the
+    # shard_map closures around the bound inner engine (cheap)
+    def operands(self):
+        return self.inner.operands()
+
+    def bind(self, ops):
+        return type(self)(self.inner.bind(ops), self.mesh, self.axis)
+
 
 def make_sharded_engine(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
                         axis: str = "replica"):
@@ -225,11 +243,23 @@ def make_sharded_pt_step(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
     super_step, betas_ladder, engine = pt_mod.make_pt_step(problem, cfg,
                                                            engine=engine)
     shardings = state_shardings(mesh, engine.layout, axis)
+    # problem + engine arrays ride as TRACED args so they are runtime
+    # operands, not HLO constants (engines.SweepEngine jit-boundary
+    # contract: 7x compile speedup measured on the dense headline)
+    eng_ops = engine.operands()
 
-    @jax.jit
+    def _raw(state: PTState, prob, ops) -> Tuple[PTState, dict]:
+        return super_step(state, None, eng_ops=ops, prob=prob)
+
+    _step_jit = jax.jit(_raw)
+
     def step(state: PTState) -> Tuple[PTState, dict]:
-        state, stats = super_step(state, None)
-        return state, stats
+        return _step_jit(state, problem, eng_ops)
+
+    # expose the unjitted body + operands so callers (run) can scan over
+    # the super-step inside their own jit without re-closing over arrays
+    step.raw = _raw
+    step.eng_ops = eng_ops
 
     def init(key: Optional[jax.Array] = None) -> PTState:
         key = key if key is not None else jax.random.key(cfg.seed)
@@ -238,9 +268,10 @@ def make_sharded_pt_step(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
         # device_put onto non-addressable devices), and avoids a host
         # round-trip on single host too
         init_jit = jax.jit(
-            lambda k: pt_mod.init_state(problem, cfg, k, engine),
+            lambda k, prob, ops: pt_mod.init_state(prob, cfg, k,
+                                                   engine.bind(ops)),
             out_shardings=shardings)
-        return init_jit(key)
+        return init_jit(key, problem, eng_ops)
 
     return step, init, betas_ladder, engine, shardings
 
@@ -256,12 +287,13 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
     n_super = max(1, cfg.n_sweeps // cfg.exchange_interval)
 
     @jax.jit
-    def run_all(state):
-        return lax.scan(lambda s, _: step(s), state, None, length=n_super)
+    def run_all(state, prob, ops):
+        return lax.scan(lambda s, _: step.raw(s, prob, ops), state, None,
+                        length=n_super)
 
     state = init(key)
     t0 = time.perf_counter()
-    state, hist = run_all(state)
+    state, hist = run_all(state, problem, step.eng_ops)
     jax.block_until_ready(state.spins)
     total = time.perf_counter() - t0
 
