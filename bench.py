@@ -51,12 +51,10 @@ MIN_PATH_S = 60
 
 
 def _enable_compile_cache():
-    """Opt-in persistent XLA compile cache (SPINGLASS_JAX_CACHE env var).
-
-    Off by default: measured on the tunneled v5e, a cache hit on the dense
-    headline program (278 MB serialized executable) takes 365 s wall vs a
-    130 s fresh compile — shipping a big cached executable to the remote
-    device is slower than recompiling from the small HLO. See
+    """Persistent XLA compile cache — ON by default since round 4's
+    operands-as-arguments refactor shrank executables from 278 MB to
+    ~550 KB (a hit takes the dense path from ~70 s to ~23 s wall);
+    SPINGLASS_JAX_CACHE=0 disables. See
     utils.cache.enable_persistent_compile_cache."""
     from spinglass_tpu.utils.cache import enable_persistent_compile_cache
 

@@ -3,11 +3,10 @@ the quality gates.
 
 Keeping one implementation matters beyond DRY: the TPU performance gate and
 the driver bench measure the exact same program at the exact same shapes,
-so their numbers are directly comparable. (Persistent-compile-cache reuse
-applies only when SPINGLASS_JAX_CACHE is set on locally-attached devices —
-the cache is off by default because shipping a big cached executable
-through the axon tunnel measured 3x slower than a fresh compile; see
-utils.cache.enable_persistent_compile_cache.)
+so their numbers are directly comparable — and since round 4 they also
+share persistent-compile-cache entries (~550 KB executables after the
+operands-as-arguments refactor; on by default, SPINGLASS_JAX_CACHE=0
+disables; see utils.cache.enable_persistent_compile_cache).
 
 Baseline note: the reference publishes no throughput numbers (BASELINE.md).
 Its CPU sweep path does O(N) torch ops + .item() syncs per spin

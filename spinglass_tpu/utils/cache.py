@@ -123,22 +123,30 @@ def anneal_cache_stats(cache: Optional[LRUCache] = None) -> dict:
 
 
 def enable_persistent_compile_cache(cache_dir: "Optional[str]" = None) -> str:
-    """Point JAX at a persistent on-disk compilation cache — OPT-IN via the
-    SPINGLASS_JAX_CACHE env var (or an explicit cache_dir argument).
+    """Point JAX at a persistent on-disk compilation cache. ON by default
+    (~/.cache/jax_spinglass); SPINGLASS_JAX_CACHE=0|off disables, any
+    other value is used as a custom cache directory ("1"/"true" keep the
+    default location).
 
-    Measured on the tunneled v5e: a cache HIT on the 2000-sweep dense
-    headline program (a 278 MB serialized executable) takes 365 s wall —
-    ~3x SLOWER than the 130 s fresh compile, because the deserialized
-    executable must be shipped to the remote device while a fresh compile
-    ships only the small HLO. The cache only pays off for small programs or
-    locally-attached devices, so it is off unless explicitly requested.
-    No-op (returns '') when not requested; tolerant of JAX versions
-    without the knobs."""
+    History: in round 3 this was opt-in-off — engines closure-embedded the
+    J matrix into every executable (278 MB serialized for the dense
+    headline), and SHIPPING a cached executable through the axon tunnel
+    measured 3x slower than a fresh compile of the small HLO. Round 4's
+    operands-as-arguments contract (anneal.engines.SweepEngine) shrank the
+    same executable to ~550 KB; a cache hit now takes the dense headline
+    bench from ~70 s to ~23 s wall, so the cache is on by default again.
+    No-op (returns '') when disabled; tolerant of JAX versions without the
+    knobs."""
     import os
 
-    cache_dir = cache_dir or os.environ.get("SPINGLASS_JAX_CACHE", "")
-    if not cache_dir:
+    env = os.environ.get("SPINGLASS_JAX_CACHE", "").strip()
+    if env.lower() in ("0", "off", "false", "no"):
         return ""
+    if cache_dir is None:
+        if env and env.lower() not in ("1", "true", "yes", "on"):
+            cache_dir = env
+        else:
+            cache_dir = os.path.expanduser("~/.cache/jax_spinglass")
     import jax
 
     try:
