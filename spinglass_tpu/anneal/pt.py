@@ -270,6 +270,11 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
         # pytree through their jit boundary.
         eng = engine.bind(eng_ops) if eng_ops is not None else engine
         prb = prob if prob is not None else problem
+        # cluster-move sampler binds through the same ops dict (key
+        # "__sw__", attached by operands_for_step below)
+        sw_b = (sw.bind(eng_ops["__sw__"])
+                if sw is not None and eng_ops is not None
+                and "__sw__" in eng_ops else sw)
 
         def one_sweep(st: PTState, _):
             key, ku = jax.random.split(st.key)
@@ -290,7 +295,7 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
             ), None
 
         state, _ = lax.scan(one_sweep, state, None, length=cfg.exchange_interval)
-        if sw is not None:
+        if sw_b is not None:
             # cluster-move mix: Swendsen-Wang sweeps at each replica's
             # current temperature (detailed balance preserved per replica)
             s_rn = eng.from_layout(state.spins)
@@ -298,7 +303,7 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
             for _ in range(cfg.cluster_moves):
                 key, kc = jax.random.split(state.key)
                 state = state.replace(key=key)
-                s_rn, de_i, _ = sw.sweep(s_rn, betas[state.slot], kc)
+                s_rn, de_i, _ = sw_b.sweep(s_rn, betas[state.slot], kc)
                 de_cl = de_cl + de_i
             new_spins = eng.to_layout(s_rn)
             energy = state.energy + de_cl
@@ -339,6 +344,16 @@ def make_pt_step(problem: IsingProblem, cfg: PTConfig,
         }
         return state, stats
 
+    def operands_for_step():
+        """Engine operands plus (when cluster_moves > 0) the SW sampler's
+        arrays under "__sw__" — pass this as super_step's eng_ops."""
+        ops = engine.operands()
+        if sw is not None:
+            ops = dict(ops)
+            ops["__sw__"] = sw.operands()
+        return ops
+
+    super_step.operands_for_step = operands_for_step
     return super_step, betas_ladder, engine
 
 
@@ -399,6 +414,7 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
                 "hist": hist,
             }
 
+        run_all.operands = super_step.operands_for_step
         return run_all, engine
 
     # reuse the compiled executable across run() calls for the same problem
@@ -415,7 +431,7 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
 
     t0 = time.perf_counter()
     out = jax.device_get(run_all(key, betas_ladder, problem,
-                                 engine.operands()))  # one dispatch, one read
+                                 run_all.operands()))  # one dispatch, one read
     total = time.perf_counter() - t0
     return _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
 
@@ -487,6 +503,7 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
 
             return lax.scan(step, state, None, length=n_steps)
 
+        segment.operands = super_step.operands_for_step
         return (engine, init_jit, segment)
 
     from spinglass_tpu.anneal.jit_cache import pt_cache
@@ -499,7 +516,7 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     if key is None:
         key = jax.random.key(cfg.seed)
 
-    eng_ops = engine.operands()
+    eng_ops = segment.operands()
     state = init_jit(key, betas_ladder, problem, eng_ops)
     hists: list = []
     done_super = 0

@@ -162,7 +162,7 @@ def time_to_target(problem, target_energy: float, cfg=None,
         keys = [key if key is not None else jax.random.key(cfg.seed)]
     states = [pt_mod.init_state(problem, cfg, k, engine) for k in keys]
 
-    eng_ops = engine.operands()
+    eng_ops = super_step.operands_for_step()
     solve_fn = jax.jit(solve)
     if warm:
         # AOT compile: lowers + compiles the executable without running the

@@ -117,6 +117,12 @@ def _gate_performance_smoke(min_flips=None) -> GateResult:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
+        # share compile-cache entries with bench.py (same program, same
+        # shapes): a warm gate run skips the ~70 s fresh compile
+        from spinglass_tpu.utils.cache import (
+            enable_persistent_compile_cache)
+
+        enable_persistent_compile_cache()
         from spinglass_tpu.benchmarks import headline
 
         # None = backend default; an EXPLICIT numeric value is authoritative

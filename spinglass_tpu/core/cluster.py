@@ -218,6 +218,25 @@ class SwendsenWang:
         self.rev_k = jnp.asarray(rev_k)
         self._sweep_jit = jax.jit(self._sweep)
 
+    # jit-boundary contract (anneal.engines.SweepEngine docstring): the
+    # ELL arrays and reverse-slot maps must cross jit as arguments, not
+    # closure constants (PT's cluster_moves path runs this inside the
+    # jitted super-step)
+    def operands(self):
+        return {"ell": self.ell, "rev_i": self.rev_i, "rev_k": self.rev_k}
+
+    def bind(self, ops):
+        import copy
+
+        sw = copy.copy(self)
+        sw.ell = ops["ell"]
+        sw.rev_i = ops["rev_i"]
+        sw.rev_k = ops["rev_k"]
+        # the copied _sweep_jit is a bound method of the ORIGINAL instance
+        # and would trace the unbound arrays — rebuild it on the copy
+        sw._sweep_jit = jax.jit(sw._sweep)
+        return sw
+
     def _sweep(self, spins, beta, key):
         """One SW update: activate bonds, label clusters, flip half."""
         from spinglass_tpu.kernels.sparse import sparse_energy

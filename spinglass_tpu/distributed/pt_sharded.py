@@ -246,7 +246,7 @@ def make_sharded_pt_step(problem: IsingProblem, cfg: PTConfig, mesh: Mesh,
     # problem + engine arrays ride as TRACED args so they are runtime
     # operands, not HLO constants (engines.SweepEngine jit-boundary
     # contract: 7x compile speedup measured on the dense headline)
-    eng_ops = engine.operands()
+    eng_ops = super_step.operands_for_step()
 
     def _raw(state: PTState, prob, ops) -> Tuple[PTState, dict]:
         return super_step(state, None, eng_ops=ops, prob=prob)

@@ -632,7 +632,10 @@ class FusedSweep:
         64 s vs 9 s compile and oversized the N=8192 program)."""
         d = {"j32": self.j32, "jbb_all": self.jbb_all,
              "jbb_od_all": self.jbb_od_all, "h_col": self.h_col,
-             "mask_col": self.mask_col}
+             "mask_col": self.mask_col,
+             # sweep_with_uniforms reads problem.active_mask — without
+             # this the host-RNG path re-embeds it (r4 review #4)
+             "problem": self.problem}
         if self.jsub_all is not None:
             d["jsub_all"] = self.jsub_all
         return d

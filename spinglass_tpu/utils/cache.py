@@ -140,13 +140,16 @@ def enable_persistent_compile_cache(cache_dir: "Optional[str]" = None) -> str:
     import os
 
     env = os.environ.get("SPINGLASS_JAX_CACHE", "").strip()
-    if env.lower() in ("0", "off", "false", "no"):
-        return ""
     if cache_dir is None:
+        # env kill-switch applies only when no explicit dir was passed —
+        # a programmatic cache_dir argument always wins
+        if env.lower() in ("0", "off", "false", "no"):
+            return ""
         if env and env.lower() not in ("1", "true", "yes", "on"):
             cache_dir = env
         else:
-            cache_dir = os.path.expanduser("~/.cache/jax_spinglass")
+            cache_dir = "~/.cache/jax_spinglass"
+    cache_dir = os.path.expanduser(cache_dir)
     import jax
 
     try:
