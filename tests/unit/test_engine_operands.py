@@ -38,8 +38,8 @@ def _large_const_bytes(txt: str) -> int:
     return tot
 
 
-def _dense_problem():
-    j = topology.fully_connected(N, dist="gaussian", scale=0.05, seed=0)
+def _dense_problem(n=N):
+    j = topology.fully_connected(n, dist="gaussian", scale=0.05, seed=0)
     return IsingProblem.from_dense(j)
 
 
@@ -59,8 +59,14 @@ ENGINES = {
     "blocked": lambda: (lambda p: (p, make_engine(
         p, sweep_method="blocked")))(_dense_problem()),
     "colored": _colored,
-    "pallas_interpret": lambda: (lambda p: (p, make_engine(
-        p, sweep_method="blocked", use_pallas="always")))(_dense_problem()),
+    # slow-marked: interpret-mode TRACING of the unrolled kernel costs
+    # ~20 s regardless of problem size; an embedded 192-spin J (~150 KB
+    # of dense text) still trips the 64 KB constant threshold
+    "pallas_interpret": pytest.param(
+        lambda: (lambda p: (p, make_engine(
+            p, sweep_method="blocked", use_pallas="always")))(
+                _dense_problem(192)),
+        marks=pytest.mark.slow),
     "sparse_compact": lambda: (lambda e: (e, make_engine(
         e, sweep_method="sparse_compact")))(_ell_problem()),
     "sparse_sorted": lambda: (lambda e: (e, make_engine(
@@ -70,9 +76,10 @@ ENGINES = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(ENGINES))
-def test_bound_sweep_embeds_no_large_constants(name):
-    problem, engine = ENGINES[name]()
+@pytest.mark.parametrize(
+    "maker", ENGINES.values(), ids=list(ENGINES))
+def test_bound_sweep_embeds_no_large_constants(maker):
+    problem, engine = maker()
     s0 = engine.to_layout(random_spins(jax.random.key(0),
                                        (4, problem.n_padded),
                                        problem.active_mask))
@@ -86,16 +93,17 @@ def test_bound_sweep_embeds_no_large_constants(name):
                              engine.operands()).as_text()
     cb = _large_const_bytes(txt)
     assert cb < MAX_CONST_BYTES, (
-        f"{name}: {cb/1e6:.1f} MB of large dense constants in the lowered "
+        f"{cb/1e6:.1f} MB of large dense constants in the lowered "
         f"program — an engine array is being closure-embedded; add it to "
         f"operands()/bind()")
 
 
-@pytest.mark.parametrize("name", sorted(ENGINES))
-def test_bound_sweep_matches_unbound(name):
+@pytest.mark.parametrize(
+    "maker", ENGINES.values(), ids=list(ENGINES))
+def test_bound_sweep_matches_unbound(maker):
     """bind(operands()) must be behavior-identical to the original engine
     (same RNG stream, same flips)."""
-    problem, engine = ENGINES[name]()
+    problem, engine = maker()
     s0 = engine.to_layout(random_spins(jax.random.key(0),
                                        (4, problem.n_padded),
                                        problem.active_mask))
