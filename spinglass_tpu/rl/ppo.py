@@ -211,7 +211,10 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
                           env_state=env_state, obs=obs, key=key,
                           update=jnp.asarray(0, jnp.int32))
 
-    def rollout(state: TrainState):
+    def rollout(state: TrainState, prob=None, eng=None):
+        prob = prob if prob is not None else problem
+        eng = eng if eng is not None else engine
+
         def step_fn(carry, _):
             env_state, obs, key = carry
             key, k_act, k_env, k_reset = jax.random.split(key, 4)
@@ -219,9 +222,9 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
             action = sample_a(dist, k_act)
             logp = log_prob(dist, action)
             env_state, next_obs, reward, done = env_mod.step(
-                problem, env_cfg, env_state, action, k_env, engine)
+                prob, env_cfg, env_state, action, k_env, eng)
             env_state, next_obs = env_mod.auto_reset(
-                problem, env_cfg, env_state, k_reset, engine)
+                prob, env_cfg, env_state, k_reset, eng)
             traj = dict(obs=obs, action=action, logp=logp, value=value,
                         reward=reward, done=done)
             return (env_state, next_obs, key), traj
@@ -264,9 +267,14 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
         return loss, dict(policy_loss=policy_loss, value_loss=value_loss,
                           entropy=entropy)
 
-    @jax.jit
-    def update_fn(state: TrainState):
-        state, traj, last_value = rollout(state)
+    def _update_raw(state: TrainState, prob=None, eng_ops=None):
+        # prob/eng_ops as traced args keep the problem + engine arrays out
+        # of the compiled HLO (anneal.engines.SweepEngine jit-boundary
+        # contract) — at 10k+-spin sparse RL the embedded ELL/bucket
+        # tables otherwise ride along with every PPO compile
+        eng = (engine.bind(eng_ops)
+               if eng_ops is not None and engine is not None else engine)
+        state, traj, last_value = rollout(state, prob, eng)
         advs, rets = gae(traj, last_value)
         t, b = advs.shape
 
@@ -315,6 +323,18 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
                               update=state.update + 1)
         return state, metrics
 
+    _update_jit = jax.jit(_update_raw)
+    _call_args = (problem,
+                  engine.operands() if engine is not None
+                  and hasattr(engine, "operands") else None)
+
+    def update_fn(state: TrainState):
+        return _update_jit(state, *_call_args)
+
+    # expose the unjitted body + operands so train() can scan updates
+    # inside ONE dispatch without re-embedding the arrays
+    update_fn.raw = _update_raw
+    update_fn.call_args = _call_args
     return init_fn, update_fn, model
 
 
@@ -336,12 +356,19 @@ def train(problem: IsingProblem, env_cfg: Optional[EnvConfig] = None,
     n_run = max(cfg.n_updates - start, 0)
     kd = max(1, cfg.updates_per_dispatch)
     if kd > 1:
+        raw = getattr(update_fn, "raw", None)
+        call_args = getattr(update_fn, "call_args", ())
+
         @jax.jit
-        def multi_update(st):
+        def _multi(st, *args):
             def body(st, _):
-                st, m = update_fn(st)
+                st, m = (raw(st, *args) if raw is not None
+                         else update_fn(st))
                 return st, m
             return lax.scan(body, st, None, length=kd)
+
+        def multi_update(st):
+            return _multi(st, *call_args)
 
     # Remainder updates (n_run % kd) run FIRST as single dispatches: the
     # standalone update_fn executable is distinct from the scanned one, so

@@ -136,3 +136,26 @@ def test_pt_super_step_program_is_small():
     assert cb < MAX_CONST_BYTES, (
         f"super-step: {cb/1e6:.1f} MB of large dense constants — an array "
         f"(engine, problem, or SW sampler) is closure-embedded")
+
+
+def test_ppo_update_program_is_clean():
+    """The jitted PPO update for a SPARSE RL problem must not embed the
+    ELL/bucket tables — 'RL over 10k+-spin sparse instances' is an
+    advertised path and its compile would otherwise carry the instance."""
+    from spinglass_tpu.rl import ppo as ppo_mod
+    from spinglass_tpu.rl.env import EnvConfig
+
+    coo = topology.sparse_random_graph_coo(1000, avg_degree=5.0,
+                                           dist="gaussian", seed=2)
+    ell = EllProblem.from_coo(1000, *coo)
+    env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=4)
+    cfg = ppo_mod.PPOConfig(rollout_len=2, n_epochs=1, n_minibatches=1,
+                            hidden_sizes=(16,))
+    init_fn, update_fn, model = ppo_mod.make_ppo(ell, env_cfg, cfg)
+    state = init_fn()
+    txt = jax.jit(update_fn.raw).lower(state,
+                                       *update_fn.call_args).as_text()
+    cb = _large_const_bytes(txt)
+    assert cb < MAX_CONST_BYTES, (
+        f"PPO update: {cb/1e6:.1f} MB of large dense constants — the env "
+        f"engine or problem is closure-embedded")
