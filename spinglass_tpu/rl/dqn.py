@@ -246,9 +246,13 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
         frac = jnp.clip(step / cfg.epsilon_decay_steps, 0.0, 1.0)
         return cfg.epsilon_start + frac * (cfg.epsilon_end - cfg.epsilon_start)
 
-    @jax.jit
-    def act_and_learn(state: DQNState):
-        """One env step for all B envs + one gradient step."""
+    def _act_and_learn_raw(state: DQNState, prob=None, eng_ops=None):
+        """One env step for all B envs + one gradient step. prob/eng_ops
+        as traced args keep the instance arrays out of the HLO
+        (anneal.engines.SweepEngine jit-boundary contract)."""
+        prob = prob if prob is not None else problem
+        eng = (engine.bind(eng_ops)
+               if eng_ops is not None and engine is not None else engine)
         key, k_eps, k_rand, k_hyb, k_env, k_reset, k_samp = jax.random.split(
             state.key, 7)
         b = env_cfg.n_envs
@@ -263,11 +267,11 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
         action = jnp.where(use_heur, heur, rl_action)
 
         env_state, next_obs, reward, done = env_mod.step(
-            problem, env_cfg, state.env_state, action, k_env, engine)
+            prob, env_cfg, state.env_state, action, k_env, eng)
         buffer = state.buffer.push_batch(state.obs, action, reward,
                                          next_obs, done)
         env_state, next_obs_reset = env_mod.auto_reset(
-            problem, env_cfg, env_state, k_reset, engine)
+            prob, env_cfg, env_state, k_reset, eng)
 
         # adapt the hybrid weight from per-choice reward EMAs
         # (hybrid_agent.py:381-406, per-step instead of per-episode)
@@ -319,6 +323,17 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
                        mean_best_energy=jnp.mean(env_state.best_energy))
         return new_state, metrics
 
+
+    _aal_jit = jax.jit(_act_and_learn_raw)
+    _call_args = (problem,
+                  engine.operands() if engine is not None
+                  and hasattr(engine, "operands") else None)
+
+    def act_and_learn(state: DQNState):
+        return _aal_jit(state, *_call_args)
+
+    act_and_learn.raw = _act_and_learn_raw
+    act_and_learn.call_args = _call_args
     return init_fn, act_and_learn, model
 
 
