@@ -74,6 +74,7 @@ class SweepEngine:
         """Hook for subclasses whose sweep closures capture operand arrays
         (rebuild them from the now-bound attributes)."""
 
+
     def to_layout(self, spins_rn: jax.Array) -> jax.Array:
         return spins_rn.T if self.layout == "nr" else spins_rn
 
@@ -91,6 +92,36 @@ class SweepEngine:
 
     def sweep(self, spins, beta, key):
         raise NotImplementedError
+
+
+def bind_call(raw_fn, problem, engine):
+    """Jit ``raw_fn(state, prob, eng_ops)`` under the operands contract.
+
+    Returns ``call(state)`` with ``call.raw`` (the unjitted body, for
+    callers that scan several steps inside ONE outer jit — they must pass
+    ``call.call_args`` as traced arguments there, or the arrays re-embed
+    as constants) and ``call.call_args = (problem, eng_ops)``.
+
+    When the engine's operands carry the problem pytree it must be the
+    SAME object as ``problem`` — two diverging instances inside one traced
+    body (env math vs sweep math) would be a silent correctness bug, so
+    this fails loudly instead."""
+    ops = (engine.operands() if engine is not None
+           and hasattr(engine, "operands") else None)
+    if (isinstance(ops, dict) and "problem" in ops
+            and ops["problem"] is not problem):
+        raise ValueError(
+            "engine was built for a different problem object than the one "
+            "passed to bind_call — env math and sweep math would diverge")
+    jitted = jax.jit(raw_fn)
+    call_args = (problem, ops)
+
+    def call(state):
+        return jitted(state, *call_args)
+
+    call.raw = raw_fn
+    call.call_args = call_args
+    return call
 
 
 class ColoredEngine(SweepEngine):

@@ -323,17 +323,9 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
                        mean_best_energy=jnp.mean(env_state.best_energy))
         return new_state, metrics
 
+    from spinglass_tpu.anneal.engines import bind_call
 
-    _aal_jit = jax.jit(_act_and_learn_raw)
-    _call_args = (problem,
-                  engine.operands() if engine is not None
-                  and hasattr(engine, "operands") else None)
-
-    def act_and_learn(state: DQNState):
-        return _aal_jit(state, *_call_args)
-
-    act_and_learn.raw = _act_and_learn_raw
-    act_and_learn.call_args = _call_args
+    act_and_learn = bind_call(_act_and_learn_raw, problem, engine)
     return init_fn, act_and_learn, model
 
 

@@ -323,18 +323,12 @@ def make_ppo(problem: IsingProblem, env_cfg: EnvConfig,
                               update=state.update + 1)
         return state, metrics
 
-    _update_jit = jax.jit(_update_raw)
-    _call_args = (problem,
-                  engine.operands() if engine is not None
-                  and hasattr(engine, "operands") else None)
+    # jitted wrapper with .raw/.call_args so train() can scan updates
+    # inside ONE dispatch without re-embedding the arrays (engines.
+    # bind_call is the shared operands-contract plumbing)
+    from spinglass_tpu.anneal.engines import bind_call
 
-    def update_fn(state: TrainState):
-        return _update_jit(state, *_call_args)
-
-    # expose the unjitted body + operands so train() can scan updates
-    # inside ONE dispatch without re-embedding the arrays
-    update_fn.raw = _update_raw
-    update_fn.call_args = _call_args
+    update_fn = bind_call(_update_raw, problem, engine)
     return init_fn, update_fn, model
 
 
@@ -356,15 +350,16 @@ def train(problem: IsingProblem, env_cfg: Optional[EnvConfig] = None,
     n_run = max(cfg.n_updates - start, 0)
     kd = max(1, cfg.updates_per_dispatch)
     if kd > 1:
-        raw = getattr(update_fn, "raw", None)
-        call_args = getattr(update_fn, "call_args", ())
+        # update_fn.raw/.call_args come from engines.bind_call; calling the
+        # jitted update_fn INSIDE this traced scan would capture the
+        # operand arrays as constants (ADR-0004), so the unjitted body is
+        # mandatory here — fail loudly if a custom update_fn lacks it
+        raw, call_args = update_fn.raw, update_fn.call_args
 
         @jax.jit
         def _multi(st, *args):
             def body(st, _):
-                st, m = (raw(st, *args) if raw is not None
-                         else update_fn(st))
-                return st, m
+                return raw(st, *args)
             return lax.scan(body, st, None, length=kd)
 
         def multi_update(st):

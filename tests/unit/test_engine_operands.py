@@ -159,3 +159,23 @@ def test_ppo_update_program_is_clean():
     assert cb < MAX_CONST_BYTES, (
         f"PPO update: {cb/1e6:.1f} MB of large dense constants — the env "
         f"engine or problem is closure-embedded")
+
+
+def test_dqn_update_program_is_clean():
+    """Same guard for the DQN act-and-learn boundary (ADR-0004: enforced
+    by canary, not convention)."""
+    from spinglass_tpu.rl import dqn as dqn_mod
+    from spinglass_tpu.rl.env import EnvConfig
+
+    coo = topology.sparse_random_graph_coo(1000, avg_degree=5.0,
+                                           dist="gaussian", seed=3)
+    ell = EllProblem.from_coo(1000, *coo)
+    env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=4)
+    init_fn, aal, model = dqn_mod.make_dqn(
+        ell, env_cfg, dqn_mod.DQNConfig(batch_size=8, buffer_size=64))
+    state = init_fn()
+    txt = jax.jit(aal.raw).lower(state, *aal.call_args).as_text()
+    cb = _large_const_bytes(txt)
+    assert cb < MAX_CONST_BYTES, (
+        f"DQN act_and_learn: {cb/1e6:.1f} MB of large dense constants — "
+        f"the env engine or problem is closure-embedded")
