@@ -322,6 +322,24 @@ def quality_gates(output, gates):
         sys.exit(1)
 
 
+@main.command("bench")
+@click.option("--path", "bench_path", default="dense",
+              type=click.Choice(["dense", "sparse", "pt10k", "ttt", "rl"]),
+              help="which headline benchmark to run")
+def bench_cmd(bench_path):
+    """Run a headline benchmark and print its JSON line (the installed-
+    package entry to the same bodies repo-root bench.py measures; shapes
+    auto-shrink off-TPU)."""
+    from spinglass_tpu.benchmarks import headline
+    from spinglass_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    fn = {"dense": headline.bench_dense, "sparse": headline.bench_sparse,
+          "pt10k": headline.bench_pt10k, "ttt": headline.bench_ttt,
+          "rl": headline.bench_rl}[bench_path]
+    click.echo(json.dumps(fn()))
+
+
 @main.command("cache-stats")
 def cache_stats():
     """Solver-cache statistics (reference AdvancedCLI cache commands)."""

@@ -148,3 +148,18 @@ class TestBenchGroupSalvage:
         out = '{"path": "ttt", "error": "RuntimeError: hash mismatch"}'
         r = b._parse_group_lines(out, ("ttt",), "unused")
         assert "hash mismatch" in r["ttt"]["error"]
+
+
+class TestBenchCommand:
+    def test_sgt_bench_pt10k(self, runner):
+        """`sgt bench` exposes the headline bodies to installed-package
+        users (repo-root bench.py is not shipped)."""
+        from spinglass_tpu.cli import main as cli_main
+
+        res = runner.invoke(cli_main, ["bench", "--path", "pt10k"])
+        assert res.exit_code == 0, res.output
+        line = [l for l in res.output.splitlines()
+                if l.startswith("{")][-1]
+        d = json.loads(line)
+        assert d["metric"] == "pt_10k_wall_seconds"
+        assert d["value"] > 0
