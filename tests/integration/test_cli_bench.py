@@ -151,11 +151,14 @@ class TestBenchGroupSalvage:
 
 
 class TestBenchCommand:
-    def test_sgt_bench_pt10k(self, runner):
+    def test_sgt_bench_pt10k(self, runner, monkeypatch):
         """`sgt bench` exposes the headline bodies to installed-package
-        users (repo-root bench.py is not shipped)."""
+        users (repo-root bench.py is not shipped). The cache kill-switch
+        keeps the command from flipping jax_compilation_cache_dir for the
+        rest of this test process."""
         from spinglass_tpu.cli import main as cli_main
 
+        monkeypatch.setenv("SPINGLASS_JAX_CACHE", "0")
         res = runner.invoke(cli_main, ["bench", "--path", "pt10k"])
         assert res.exit_code == 0, res.output
         line = [l for l in res.output.splitlines()
