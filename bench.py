@@ -4,7 +4,7 @@ Default (--all, implicit): the dense fused-Pallas sweep headline with the
 pt10k / time-to-target / sparse / RL paths in extras, so a regression on
 ANY path is visible in the driver artifact. Individual flags run one path.
 The combined JSON line is re-printed (flushed) after every path under a
-TOTAL wall budget (SPINGLASS_BENCH_TOTAL, default 420 s) — the driver
+TOTAL wall budget (SPINGLASS_BENCH_TOTAL, default 500 s) — the driver
 parses the LAST line, so a timeout degrades to "paths completed so far".
 
 Benchmark bodies live in spinglass_tpu.benchmarks.headline (shared with
@@ -227,13 +227,10 @@ def main():
     from spinglass_tpu.benchmarks import headline
 
     if args.group:
-        fns = {"dense": headline.bench_dense, "sparse": headline.bench_sparse,
-               "pt10k": headline.bench_pt10k, "ttt": headline.bench_ttt,
-               "rl": headline.bench_rl}
         for name in args.group.split(","):
             name = name.strip()
             try:
-                res = fns[name]()
+                res = headline.PATHS[name]()
             except Exception as exc:  # keep going; later paths still run
                 res = {"error": f"{type(exc).__name__}: {exc}"[:500]}
             print(json.dumps({"path": name, **res}), flush=True)

@@ -108,11 +108,18 @@ def bind_call(raw_fn, problem, engine):
     this fails loudly instead."""
     ops = (engine.operands() if engine is not None
            and hasattr(engine, "operands") else None)
-    if (isinstance(ops, dict) and "problem" in ops
-            and ops["problem"] is not problem):
-        raise ValueError(
-            "engine was built for a different problem object than the one "
-            "passed to bind_call — env math and sweep math would diverge")
+    if isinstance(ops, dict):
+        # sparse engines carry the instance under "ell"; the check only
+        # applies when the caller's problem IS that EllProblem (an ell
+        # DERIVED from a dense problem is legitimately a different object)
+        anchor_key = ("problem" if "problem" in ops
+                      else "ell" if "ell" in ops
+                      and hasattr(problem, "idx") else None)
+        if anchor_key is not None and ops[anchor_key] is not problem:
+            raise ValueError(
+                "engine was built for a different problem object than the "
+                "one passed to bind_call — env math and sweep math would "
+                "diverge")
     jitted = jax.jit(raw_fn)
     call_args = (problem, ops)
 

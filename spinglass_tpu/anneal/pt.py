@@ -527,7 +527,10 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     # which engine wrote the checkpoint and fail with pinning advice on
     # mismatch rather than a cryptic shape error (ADVICE.md r3 #5).
     meta_path = os.path.join(checkpoint_dir, "engine_meta.json")
-    wrote_meta = resume  # resume keeps the existing (matching) sidecar
+    # resume keeps an existing (matching) sidecar; a LEGACY dir without
+    # one still gets the sidecar written on the first save of this run
+    wrote_meta = resume and os.path.exists(
+        os.path.join(checkpoint_dir, "engine_meta.json"))
     if os.path.exists(meta_path):
         import json as _json
 

@@ -209,7 +209,9 @@ def bench_rl():
     # the reported value is the MEDIAN window rate.
     kd = 8 if on_tpu else 2
     n_updates = 40 if on_tpu else 8
-    n_warm = kd
+    # must mirror train()'s warmup accounting: remainder singles run first
+    # (each may compile) + the first scanned dispatch
+    n_warm = kd + (n_updates % kd)
     j = topology.fully_connected(n, dist="gaussian", scale=1.0 / np.sqrt(n),
                                  seed=SEED)
     problem = IsingProblem.from_dense(j)
@@ -240,6 +242,15 @@ def bench_rl():
                    "baseline": "flips-equivalent vs assumed 1e6 flips/s "
                                "CPU reference"},
     }
+
+
+PATHS = {
+    "dense": bench_dense,
+    "sparse": bench_sparse,
+    "pt10k": bench_pt10k,
+    "rl": bench_rl,
+}
+# bench_ttt is appended below (defined after its provenance helpers)
 
 
 # --- time-to-target instance (hard mode) -----------------------------------
@@ -332,3 +343,6 @@ def bench_ttt():
                                          else "exact planted"),
                    "baseline": "reference 'sub-second 10k+' claim = 1 s"},
     }
+
+
+PATHS["ttt"] = bench_ttt

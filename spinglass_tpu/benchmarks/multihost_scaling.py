@@ -26,6 +26,12 @@ import sys
 import time
 
 
+def _worker_n_super() -> int:
+    from spinglass_tpu.distributed._multihost_worker import N_SUPER
+
+    return N_SUPER
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -147,7 +153,7 @@ def main() -> None:
                                   for n in sizes},
         "per_super_step_overhead_seconds": {
             str(n): (runs[n]["two_process"][0]["seconds"]
-                     - runs[n]["single_process"]["seconds"]) / 10
+                     - runs[n]["single_process"]["seconds"]) / _worker_n_super()
             for n in sizes},
         "interpretation": ("collectives are O(R) in the compiled HLO "
                            "([1,8] s32/f32 payloads, verified at n=64 and "

@@ -334,10 +334,7 @@ def bench_cmd(bench_path):
     from spinglass_tpu.utils.cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
-    fn = {"dense": headline.bench_dense, "sparse": headline.bench_sparse,
-          "pt10k": headline.bench_pt10k, "ttt": headline.bench_ttt,
-          "rl": headline.bench_rl}[bench_path]
-    click.echo(json.dumps(fn()))
+    click.echo(json.dumps(headline.PATHS[bench_path]()))
 
 
 @main.command("cache-stats")

@@ -16,6 +16,10 @@ import os
 import sys
 import time
 
+# timed super-steps per worker — benchmarks.multihost_scaling divides by
+# this to report per-super-step overhead, so it must be THE constant
+N_SUPER = 10
+
 
 def main() -> None:
     pid = int(sys.argv[1])
@@ -64,7 +68,7 @@ def main() -> None:
     state, stats = step(state)                   # compile + warm
     jax.block_until_ready(state.energy)
 
-    n_super = 10
+    n_super = N_SUPER
     t0 = time.perf_counter()
     for _ in range(n_super):
         state, stats = step(state)

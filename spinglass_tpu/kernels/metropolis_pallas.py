@@ -615,6 +615,11 @@ class FusedSweep:
         self.micro = micro
         self.pipelined = pipelined
         self.folded = folded
+        if pipelined and folded:
+            raise ValueError(
+                "pipelined and folded kernel variants cannot combine — "
+                "the pipelined builder has no folded form and silently "
+                "running the flat kernel would misattribute measurements")
         self.j32 = problem.j.astype(j_dtype)
         # jbb blocks stay f32 (VPU elementwise + small MXU passes)
         self.jbb_all = _diag_blocks(self.j32, block_size).astype(jnp.float32)

@@ -859,7 +859,12 @@ class SortedSparseTEngine:
 
     def sweep(self, spins_t, beta, key):
         r = spins_t.shape[1]
-        if self._use_fused_accept and r % 128 == 0:
+        if self._use_fused_accept and r % 128 != 0:
+            raise ValueError(
+                f"accept_kernel='fused' needs replica count % 128 == 0 "
+                f"(got {r}); falling back silently would benchmark the "
+                f"wrong code path")
+        if self._use_fused_accept:
             beta_r = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
             nib = (-0.5 / beta_r)[None, :]
             return self._sweep_fused(spins_t, nib, self._seed_words(key))
