@@ -40,6 +40,28 @@ def main():
     print(f"env-steps/s:       {out['env_steps_per_second']:.0f}")
     print(f"final mean best E: {out['final_mean_best_energy']:.2f}")
 
+    # --- gymnasium interoperability (round 4) ---------------------------
+    # the same annealer-environment as a standard gymnasium.Env, for
+    # external RL libraries (SB3, CleanRL, ...)
+    try:
+        from spinglass_tpu.rl.gym_adapter import SpinGlassGymEnv
+    except ImportError:
+        print("gymnasium not installed; skipping the adapter demo")
+        return
+    env = SpinGlassGymEnv(IsingProblem.from_dense(j),
+                          EnvConfig(n_envs=1, sweeps_per_step=5,
+                                    max_steps=10), seed=0)
+    obs, info = env.reset(seed=1)
+    total = 0.0
+    for _ in range(10):
+        obs, r, terminated, truncated, info = env.step(
+            env.action_space.sample())
+        total += r
+        if terminated or truncated:
+            break
+    print(f"gym episode reward {total:.3f}, "
+          f"best E {info['best_energy']:.2f}")
+
 
 if __name__ == "__main__":
     main()
