@@ -9,10 +9,15 @@ parses the LAST line, so a timeout degrades to "paths completed so far".
 
 Benchmark bodies live in spinglass_tpu.benchmarks.headline (shared with
 the TPU performance quality gate for identical shapes/consistent numbers).
-Prints JSON lines; the last one is:
+Prints JSON lines; the last one is COMPACT (< 1 KB — BENCH_r04 proved the
+driver's tail capture truncates longer lines) with one number per path:
 
     {"metric": "...", "value": ..., "unit": "...", "vs_baseline": ...,
-     "extras": {...}}
+     "paths": {"pt10k": 0.33, "sparse": 1.01e10, ...},
+     "detail": "BENCH_detail.json"}
+
+The FULL nested extras are rewritten to BENCH_detail.json after every
+path completes.
 
 Baseline: the reference has no published throughput numbers (BASELINE.md);
 vs_baseline for throughput metrics is the multiple of an ASSUMED 1e6
@@ -129,12 +134,65 @@ def _parse_group_lines(out: str, names, missing_error: str) -> dict:
     return results
 
 
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(globals().get("__file__", "bench.py"))),
+    "BENCH_detail.json")
+
+
+def _compact(result: dict) -> dict:
+    """Numbers-only summary of the combined result, guaranteed small.
+
+    BENCH_r04 was rc=0 yet parsed=null because the full combined line
+    (~2.3 KB of nested extras) overflowed the driver's tail capture and got
+    truncated mid-line (VERDICT.md r4 weak #1 / task 1). The LAST stdout
+    line is now this compact form — metric/value/unit/vs_baseline plus one
+    number (or a short error string) per secondary path — measured ~350
+    bytes fully populated, hard-capped well under 1 KB. The full nested
+    extras go to BENCH_detail.json instead."""
+    paths = {}
+    for name, sub in result.get("extras", {}).items():
+        if not isinstance(sub, dict):
+            if name == "error":  # dense-path failure is a bare string
+                paths["dense"] = {"error": str(sub)[:80]}
+            continue
+        if "error" in sub:
+            paths[name] = {"error": str(sub["error"])[:80]}
+        elif "value" in sub:
+            paths[name] = round(float(sub["value"]), 6)
+    out = {"metric": result["metric"], "value": result["value"],
+           "unit": result["unit"], "vs_baseline": result["vs_baseline"],
+           "paths": paths, "detail": os.path.basename(DETAIL_PATH)}
+    line = json.dumps(out)
+    if len(line) > 1000:  # belt-and-braces: drop error texts, then paths
+        out["paths"] = {k: (v if not isinstance(v, dict) else "error")
+                        for k, v in paths.items()}
+        if len(json.dumps(out)) > 1000:
+            out["paths"] = "overflow: see detail file"
+    return out
+
+
+def _write_detail(result: dict) -> None:
+    """Persist the FULL combined result (all nested extras) to
+    BENCH_detail.json at the repo root, rewritten after every stage so a
+    kill at any point leaves the latest complete snapshot on disk."""
+    tmp = DETAIL_PATH + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=2)
+        os.replace(tmp, DETAIL_PATH)
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+
+
 def _emit(result: dict) -> None:
-    """Print (flushed) one JSON line NOW. The driver takes the LAST
-    parseable stdout line, so re-emitting the combined result after every
-    path means a timeout at any point records everything finished so far
-    instead of nothing (BENCH_r03 was rc=124, tail="", parsed=null)."""
-    print(json.dumps(result), flush=True)
+    """Write the full result to BENCH_detail.json, then print (flushed) the
+    COMPACT summary line NOW. The driver takes the LAST parseable stdout
+    line, so re-emitting after every path means a timeout at any point
+    records everything finished so far instead of nothing (BENCH_r03 was
+    rc=124, tail="", parsed=null; BENCH_r04 rc=0 but the 2.3 KB line was
+    tail-truncated — hence the compact form)."""
+    _write_detail(result)
+    print(json.dumps(_compact(result)), flush=True)
 
 
 def _run_all():
