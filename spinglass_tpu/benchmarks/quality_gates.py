@@ -103,15 +103,28 @@ def _gate_solution_quality() -> GateResult:
                       f"FM ground state {res.best_energy} vs {target}")
 
 
+def _load_perf_targets() -> dict:
+    """Committed TPU gate targets (benchmarks/perf_targets.json), ratcheted
+    from measured driver-bench numbers — VERDICT.md r4 task 2: the gates
+    must track the measured headline (was a fixed 1e9 with 10x slack), so a
+    ~20% regression on ANY headline path fails `sgt quality-gates`."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "perf_targets.json")
+    with open(path) as f:
+        return json.load(f)["gates"]
+
+
 def _gate_performance_smoke(min_flips=None) -> GateResult:
     """Backend-aware throughput gate (VERDICT.md r2 weak #8: the old fixed
     1e5-flips/s smoke could not catch even a 100x TPU regression).
 
     On TPU the gate runs the HEADLINE dense benchmark (benchmarks/headline.
     bench_dense — the same program bench.py measures; ~130 s wall including
-    the compile on the tunneled v5e) and requires >= 1e9 flips/s — an order
-    of magnitude under the measured ~10e9 headline, so it trips on any
-    order-of-magnitude regression while tolerating chip/load variance.
+    the compile on the tunneled v5e) and requires the committed
+    perf_targets.json dense gate (8e9 = ~80% of the measured 10.2e9
+    headline — VERDICT.md r4 task 2; the old 1e9 had 10x slack).
     On CPU it stays a smoke test (1e5) since CI machine speed is unknown."""
     import jax
 
@@ -128,7 +141,8 @@ def _gate_performance_smoke(min_flips=None) -> GateResult:
         # None = backend default; an EXPLICIT numeric value is authoritative
         # (`min_flips or 1e9` silently turned an explicit 1e5 into 1e9 and
         # an explicit 0.0 back into 1e9 — ADVICE.md r3 #4)
-        gate = 1e9 if min_flips is None else min_flips
+        gate = (_load_perf_targets()["dense_flips_min"]
+                if min_flips is None else min_flips)
         res = headline.bench_dense()
         fps = res["value"]
         ok = fps >= gate
@@ -237,6 +251,96 @@ def _gate_sharded_pallas_tpu() -> GateResult:
                       f"{ok}, slots_ok={bool(slots_ok)}")
 
 
+def _gate_headline_paths() -> GateResult:
+    """TPU-only: run the sparse / pt10k / ttt / rl headline paths (the same
+    benchmark bodies bench.py measures) and gate each against the committed
+    perf_targets.json — VERDICT.md r4 task 2: before this gate a 10x
+    regression on any non-dense path would sail through every gate and only
+    surface in the next round's driver bench. Skipped on CPU (machine speed
+    unknown; the CPU smoke of these bodies runs inside bench.py)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return GateResult("headline_paths", True,
+                          "skipped: backend is not tpu")
+    from spinglass_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    from spinglass_tpu.benchmarks import headline
+
+    t = _load_perf_targets()
+    checks = [
+        ("sparse", headline.bench_sparse, "ge", t["sparse_flips_min"]),
+        ("pt10k", headline.bench_pt10k, "le", t["pt10k_wall_max_s"]),
+        ("ttt", headline.bench_ttt, "le", t["ttt_median_max_s"]),
+        ("rl", headline.bench_rl, "ge", t["rl_env_steps_min"]),
+    ]
+    parts, ok = [], True
+    for name, fn, op, gate in checks:
+        try:
+            val = fn()["value"]
+        except Exception as exc:
+            ok = False
+            parts.append(f"{name}=ERROR({type(exc).__name__}: {exc})"[:160])
+            continue
+        good = val >= gate if op == "ge" else val <= gate
+        ok = ok and good
+        parts.append(f"{name}={val:.4g}{'' if good else '!'} "
+                     f"(gate {'>=' if op == 'ge' else '<='}{gate:.3g})")
+    return GateResult("headline_paths", bool(ok), "; ".join(parts))
+
+
+def _gate_suite_budget() -> GateResult:
+    """Run the non-slow pytest suite and enforce the wall budget —
+    VERDICT.md r4 task 8: suite creep (8 min -> 14 min in r3, back at the
+    fence at 7m41 in r4) recurred because nothing enforced it. Fails if
+    total wall exceeds 480 s or any single non-slow test exceeds 20 s.
+    The suite forces CPU + 8 virtual devices via tests/conftest.py, so
+    this runs identically on any backend. Excluded from the default `sgt
+    quality-gates` TPU run only via --gates selection, never silently."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    if os.environ.get("PYTEST_CURRENT_TEST"):
+        # the suite itself runs run_quality_gates() — spawning the suite
+        # from inside the suite would recurse without bound
+        return GateResult("suite_budget", True,
+                          "skipped: already inside a pytest run")
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-m",
+             "not slow", "-p", "no:cacheprovider", "--durations=15",
+             "--durations-min=1.0"],
+            cwd=repo, capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        return GateResult("suite_budget", False,
+                          "non-slow suite exceeded the 900 s hard timeout "
+                          "(budget is 480 s)")
+    wall = time.perf_counter() - t0
+    out = proc.stdout or ""
+    if proc.returncode != 0:
+        tail = " | ".join(out.strip().splitlines()[-3:])[:300]
+        return GateResult("suite_budget", False,
+                          f"suite FAILED (rc={proc.returncode}): {tail}")
+    # per-test ceiling from the --durations table: lines like
+    # "12.34s call     tests/unit/test_x.py::test_y"
+    slowest, worst = 0.0, ""
+    for m in re.finditer(r"^\s*(\d+\.\d+)s\s+(call|setup|teardown)\s+(\S+)",
+                         out, re.M):
+        if float(m.group(1)) > slowest:
+            slowest, worst = float(m.group(1)), m.group(3)
+    ok = wall <= 480.0 and slowest <= 20.0
+    return GateResult(
+        "suite_budget", bool(ok),
+        f"wall {wall:.0f}s (budget 480s); slowest test {slowest:.1f}s "
+        f"{worst} (ceiling 20s)")
+
+
 def _gate_graceful_degradation() -> GateResult:
     from spinglass_tpu.core.minimal import MinimalAnnealer, create_test_problem
 
@@ -253,10 +357,12 @@ DEFAULT_GATES: Dict[str, Callable[[], GateResult]] = {
     "determinism": _gate_determinism,
     "solution_quality": _gate_solution_quality,
     "performance_smoke": _gate_performance_smoke,
+    "headline_paths": _gate_headline_paths,
     "security": _gate_security,
     "multidevice": _gate_multidevice,
     "sharded_pallas_tpu": _gate_sharded_pallas_tpu,
     "graceful_degradation": _gate_graceful_degradation,
+    "suite_budget": _gate_suite_budget,
 }
 
 

@@ -234,7 +234,8 @@ def make_dqn(problem: IsingProblem, env_cfg: EnvConfig,
                    else ReplayBuffer)
         return DQNState(
             params=params, target_params=params, opt_state=tx.init(params),
-            buffer=buf_cls.create(cfg.buffer_size, env_mod.OBS_DIM),
+            buffer=buf_cls.create(cfg.buffer_size,
+                                  env_mod.obs_dim(problem, env_cfg)),
             env_state=env_state, obs=obs, key=key,
             step=jnp.asarray(0, jnp.int32),
             annealing_weight=jnp.asarray(cfg.annealing_weight, jnp.float32),

@@ -24,6 +24,11 @@ Observation (obs_mode="global", default): 16 global features per env,
 mirroring environment.py:400-440's global feature vector:
   [E/E0, E_best/E0, dE_last/|E0|, log10(T), acceptance, progress,
    magnetization, E z-score, plateau fraction, last-action one-hot-ish slots]
+obs_mode="spins" (reference environment.py:115-154's spins+globals space):
+  concat(spins[:n_padded] masked to 0 at padding, global16) — a spin-level
+  policy for small instances. obs_dim(problem, cfg) gives the static width;
+  PPO sizes its heads from reset()'s obs automatically, DQN's replay buffer
+  uses obs_dim().
 Action modes (environment.py:88-113):
   discrete   — index into N_TEMP_MULTIPLIERS temperature multipliers
   continuous — [temp_multiplier in [0.5, 2], sweep_fraction in [0, 1]]
@@ -63,6 +68,8 @@ class EnvConfig:
     sweeps_per_step: int = 10
     max_steps: int = 100
     action_mode: str = "discrete"        # discrete | continuous
+    obs_mode: str = "global"             # global | spins (env.py:115-154
+    # of the reference: spin values + global features for small instances)
     initial_temp: float = 2.0
     init_temp_range: Optional[Tuple[float, float]] = None  # when set, each
     # reset draws the starting temperature log-uniformly per env from this
@@ -233,9 +240,23 @@ def step(problem: IsingProblem, cfg: EnvConfig, state: EnvState,
     return new_state, observe(problem, cfg, new_state), reward, done
 
 
+def obs_dim(problem, cfg: EnvConfig) -> int:
+    """Static observation width for (problem, cfg) — replay buffers and
+    external adapters need it host-side; PPO infers it from reset()."""
+    if cfg.obs_mode == "spins":
+        return int(problem.n_padded) + OBS_DIM
+    if cfg.obs_mode == "global":
+        return OBS_DIM
+    raise ValueError(f"obs_mode must be 'global' or 'spins', "
+                     f"got {cfg.obs_mode!r}")
+
+
 def observe(problem: IsingProblem, cfg: EnvConfig, state: EnvState
             ) -> jax.Array:
-    """[B, OBS_DIM] global features (reference environment.py:400-440)."""
+    """[B, obs_dim] features. obs_mode="global": the 16 global features
+    (reference environment.py:400-440). obs_mode="spins": the spin vector
+    (padding slots zeroed) concatenated with those 16 globals (reference
+    environment.py:115-154)."""
     e0 = jnp.abs(state.initial_energy) + 1e-8
     de = state.energy - state.prev_energy
     mag = energy_ops.magnetization(problem, state.spins)
@@ -259,7 +280,12 @@ def observe(problem: IsingProblem, cfg: EnvConfig, state: EnvState
         jnp.ones_like(mag),
         jnp.zeros_like(mag),
     ]
-    return jnp.stack(feats, axis=-1)
+    glob = jnp.stack(feats, axis=-1)
+    if cfg.obs_mode == "spins":
+        spins = state.spins.astype(jnp.float32) * jnp.asarray(
+            problem.active_mask, jnp.float32)[None, :]
+        return jnp.concatenate([spins, glob], axis=-1)
+    return glob
 
 
 def auto_reset(problem: IsingProblem, cfg: EnvConfig, state: EnvState,

@@ -79,8 +79,8 @@ class SpinGlassGymEnv(gymnasium.Env if gymnasium else object):
         self._key = jax.random.key(0 if seed is None else seed)
         self._state = None
 
-        self.observation_space = spaces.Box(-np.inf, np.inf,
-                                            (fenv.OBS_DIM,), np.float32)
+        self.observation_space = spaces.Box(
+            -np.inf, np.inf, (fenv.obs_dim(problem, cfg),), np.float32)
         if cfg.action_mode == "discrete":
             self.action_space = spaces.Discrete(fenv.N_ACTIONS)
         elif cfg.action_mode == "continuous":

@@ -534,3 +534,95 @@ class TestRLCheckpointResume:
         for a, b in zip(jax.tree.leaves(out_full["params"]),
                         jax.tree.leaves(out2["params"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSpinsObsMode:
+    """obs_mode="spins": spin values + the 16 globals (reference
+    environment.py:115-154's observation space — VERDICT.md r4 missing #1)."""
+
+    def test_obs_width_and_masking(self, key):
+        p = _problem(n=24)
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8,
+                        obs_mode="spins")
+        assert env_mod.obs_dim(p, cfg) == p.n_padded + env_mod.OBS_DIM
+        state, obs = env_mod.reset(p, cfg, key)
+        assert obs.shape == (4, p.n_padded + env_mod.OBS_DIM)
+        spins_part = np.asarray(obs[:, :p.n_padded])
+        # active slots carry +-1 spins, padding slots are zeroed
+        assert set(np.unique(spins_part[:, :p.n_spins])) <= {-1.0, 1.0}
+        assert np.all(spins_part[:, p.n_spins:] == 0.0)
+        # spins in the obs are the state's spins
+        np.testing.assert_array_equal(
+            spins_part[:, :p.n_spins],
+            np.asarray(state.spins, np.float32)[:, :p.n_spins])
+        # the trailing 16 features match the global-mode observation
+        glob = env_mod.observe(
+            p, EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8), state)
+        np.testing.assert_array_equal(np.asarray(obs[:, p.n_padded:]),
+                                      np.asarray(glob))
+
+    def test_obs_mode_validated(self, key):
+        p = _problem()
+        with pytest.raises(ValueError, match="obs_mode"):
+            env_mod.obs_dim(p, EnvConfig(obs_mode="bogus"))
+
+    def test_step_and_auto_reset_keep_width(self, key):
+        p = _problem(n=24)
+        cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=3,
+                        obs_mode="spins")
+        state, obs = env_mod.reset(p, cfg, key)
+        for i in range(4):
+            state, obs, r, done = env_mod.step(
+                p, cfg, state, jnp.zeros((4,), jnp.int32), jax.random.key(i))
+            state, obs = env_mod.auto_reset(p, cfg, state, jax.random.key(99))
+            assert obs.shape == (4, p.n_padded + env_mod.OBS_DIM)
+            assert np.all(np.isfinite(np.asarray(obs)))
+
+    def test_ppo_trains_on_spins_obs(self):
+        """PPO sizes its input layer from the wider obs and trains on a
+        64-spin problem (the VERDICT r4 task 6 'done' criterion)."""
+        p = _problem(n=64, seed=1)
+        env_cfg = EnvConfig(n_envs=8, sweeps_per_step=3, max_steps=10,
+                            obs_mode="spins")
+        cfg = ppo_mod.PPOConfig(n_updates=3, rollout_len=4, n_epochs=1,
+                                n_minibatches=2, hidden_sizes=(32,), seed=0)
+        out = ppo_mod.train(p, env_cfg, cfg)
+        assert len(out["history"]) == 3
+        assert np.isfinite(out["final_mean_best_energy"])
+        # first Dense layer consumed the widened observation
+        first_kernel = out["params"]["params"]["Dense_0"]["kernel"]
+        assert first_kernel.shape[0] == env_mod.obs_dim(p, env_cfg)
+
+    def test_dqn_buffer_sized_for_spins_obs(self):
+        p = _problem(n=24)
+        env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8,
+                            obs_mode="spins")
+        cfg = dqn_mod.DQNConfig(buffer_size=32, batch_size=4,
+                                hidden_sizes=(16,), seed=0)
+        init_fn, step_fn, _model = dqn_mod.make_dqn(p, env_cfg, cfg)
+        st = init_fn()
+        assert st.buffer.obs.shape[1] == env_mod.obs_dim(p, env_cfg)
+        st, m = step_fn(st)
+        assert np.all(np.isfinite(np.asarray(st.obs)))
+
+
+class TestUpdatesPerDispatchParity:
+    def test_history_parity_with_remainder(self):
+        """updates_per_dispatch>1 (lax.scan over the raw update body) must
+        reproduce the kd=1 history exactly, including when n_updates % kd
+        != 0 (remainder singles run first) — ADVICE.md r4 #4: this path was
+        only exercised by bench_rl."""
+        p = _problem(n=16, seed=2)
+        env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8)
+        base = dict(n_updates=7, rollout_len=3, n_epochs=1, n_minibatches=1,
+                    hidden_sizes=(16,), seed=5)
+        out1 = ppo_mod.train(p, env_cfg,
+                             ppo_mod.PPOConfig(**base, updates_per_dispatch=1))
+        out3 = ppo_mod.train(p, env_cfg,
+                             ppo_mod.PPOConfig(**base, updates_per_dispatch=3))
+        assert len(out1["history"]) == len(out3["history"]) == 7
+        for h1, h3 in zip(out1["history"], out3["history"]):
+            assert h1.keys() == h3.keys()
+            for k in h1:
+                np.testing.assert_allclose(h1[k], h3[k], rtol=1e-5,
+                                           atol=1e-6, err_msg=k)
