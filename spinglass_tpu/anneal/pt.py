@@ -433,7 +433,14 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
     out = jax.device_get(run_all(key, betas_ladder, problem,
                                  run_all.operands()))  # one dispatch, one read
     total = time.perf_counter() - t0
-    return _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
+    res = _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
+    try:  # prometheus gauges (no-op cost when nothing scrapes them)
+        from spinglass_tpu.utils.metrics_exporter import publish_anneal_result
+
+        publish_anneal_result(res, solver="pt")
+    except Exception:  # pragma: no cover - metrics must never break a solve
+        pass
+    return res
 
 
 def _assemble_result(problem, cfg: PTConfig, out: dict, betas_ladder,

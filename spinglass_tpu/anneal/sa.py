@@ -267,7 +267,7 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
     best_r = int(jnp.argmin(state.best_energy))
     best_spins = best_spins_rn[best_r][: problem.n_spins]
     flips = sweeps_done * config.n_replicas * problem.n_spins
-    return AnnealResult(
+    result = AnnealResult(
         best_spins=best_spins,
         best_energy=float(jnp.min(state.best_energy)),
         replica_best_energy=np.asarray(state.best_energy),
@@ -287,6 +287,13 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
         convergence_sweep=conv_sweep,
         metadata={"schedule": config.schedule.schedule_type.value},
     )
+    try:  # prometheus gauges (no-op cost when nothing scrapes them)
+        from spinglass_tpu.utils.metrics_exporter import publish_anneal_result
+
+        publish_anneal_result(result, solver="sa")
+    except Exception:  # pragma: no cover - metrics must never break a solve
+        pass
+    return result
 
 
 def anneal_scan(problem: IsingProblem, config: Optional[SAConfig] = None,

@@ -225,7 +225,12 @@ def bench_rl():
     steady = out["update_times"][n_warm:]
     n_win = 3 if len(steady) >= 6 else 1
     w = len(steady) // n_win
-    win_rates = [steps_per_update * w / sum(steady[i * w:(i + 1) * w])
+    # fold the division remainder into the LAST window (no-silent-caps
+    # convention — ADVICE.md r4 #3: 32 steady updates must not quietly
+    # measure only 30); each window's rate normalizes by its own length
+    bounds = [i * w for i in range(n_win)] + [len(steady)]
+    win_rates = [steps_per_update * (bounds[i + 1] - bounds[i])
+                 / sum(steady[bounds[i]:bounds[i + 1]])
                  for i in range(n_win)]
     sps = sorted(win_rates)[n_win // 2]
     return {

@@ -28,6 +28,13 @@ def main(platform):
         except RuntimeError as e:
             raise click.ClickException(
                 f"cannot switch platform after JAX initialized: {e}")
+    # SGT_METRICS_PORT set -> serve /metrics from THIS process so solver
+    # gauges (flips/s, best energy, exchange rate, env-steps/s) are
+    # scrapeable — the docker-compose prometheus service relies on this
+    from spinglass_tpu.utils.metrics_exporter import (
+        maybe_start_server_from_env)
+
+    maybe_start_server_from_env()
 
 
 def _make_problem(problem: str, size: int, seed: int):
@@ -246,7 +253,9 @@ def train_rl(agent, updates, envs, spins, checkpoint_dir):
               help="sample every N seconds (0 = one snapshot)")
 @click.option("--serve-port", default=0, type=int,
               help="also serve /metrics for Prometheus on this port")
-def monitor(watch, serve_port):
+@click.option("--serve-host", default="127.0.0.1",
+              help="bind address for /metrics (0.0.0.0 inside a container)")
+def monitor(watch, serve_port, serve_host):
     """Resource snapshot / Prometheus endpoint (reference AdvancedCLI
     monitoring commands, cli/advanced_cli.py:22-483)."""
     import time as _time
@@ -258,8 +267,8 @@ def monitor(watch, serve_port):
     mon = global_monitor()
     server = None
     if serve_port:
-        server = MetricsServer(port=serve_port).start()
-        click.echo(f"serving /metrics on :{server.port}")
+        server = MetricsServer(host=serve_host, port=serve_port).start()
+        click.echo(f"serving /metrics on {serve_host}:{server.port}")
     try:
         while True:
             snap = {"host": __import__(

@@ -541,6 +541,10 @@ def make_threshold_call(n_sorted: int, r: int, rule: str,
             th = jnp.log(u) * nib_ref[:]
         else:  # glauber: -logit(u)/(2 beta)
             th = (jnp.log(u) - jnp.log1p(-u)) * nib_ref[:]
+        # int32->f32 rounding can land u EXACTLY on 1.0 (bits near 2^31-1),
+        # making th 0 (accept-any-downhill); guard to never-accept for
+        # consistency with the dense kernel's u < 1.0 guard (ADVICE.md r4 #1)
+        th = jnp.where(u < 1.0, th, -jnp.inf)
         out_ref[:] = jnp.where(mask_ref[:] < 0, -jnp.inf, th)
 
     def call(seed, nib, mask_col):
@@ -606,6 +610,8 @@ def make_accept_call(mc: int, r: int, rule: str, off: int, spin_dtype,
             th = jnp.log(u) * nib_ref[:]
         else:  # glauber: -logit(u)/(2 beta)
             th = (jnp.log(u) - jnp.log1p(-u)) * nib_ref[:]
+        # u == 1.0 guard, same as make_threshold_call (ADVICE.md r4 #1)
+        th = jnp.where(u < 1.0, th, -jnp.inf)
         th = jnp.where(mask_ref[:] < 0, -jnp.inf, th)
         s32 = s_ref[:].astype(jnp.float32)
         sf = s32 * f_ref[:]

@@ -71,11 +71,33 @@ class SpinGlassGymEnv(gymnasium.Env if gymnasium else object):
         self._fenv = fenv
         self._engine = (fenv.default_engine(problem, cfg)
                         if engine == "auto" else engine)
-        self._reset_fn = jax.jit(
-            lambda key: fenv.reset(problem, cfg, key, self._engine))
-        self._step_fn = jax.jit(
-            lambda state, action, key: fenv.step(
-                problem, cfg, state, action, key, self._engine))
+        eng = self._engine
+        if eng is not None and hasattr(eng, "operands"):
+            # ADR-0004 operands-as-arguments contract (ADVICE.md r4 #2):
+            # problem + engine arrays cross the jit boundary as traced
+            # ARGUMENTS, not closure constants, so large instances don't
+            # embed J in the HLO (278 MB executables) and a new problem
+            # object of the same shape reuses the compile.
+            raw_reset = jax.jit(
+                lambda key, prob, ops: fenv.reset(prob, cfg, key,
+                                                  eng.bind(ops)))
+            raw_step = jax.jit(
+                lambda state, action, key, prob, ops: fenv.step(
+                    prob, cfg, state, action, key, eng.bind(ops)))
+            ops = eng.operands()
+            self._reset_fn = lambda key: raw_reset(key, problem, ops)
+            self._step_fn = (lambda state, action, key:
+                             raw_step(state, action, key, problem, ops))
+        else:  # engine=None (pure blocked-XLA fallback): problem still a
+            # traced argument; there are no engine arrays to route
+            raw_reset = jax.jit(
+                lambda key, prob: fenv.reset(prob, cfg, key, eng))
+            raw_step = jax.jit(
+                lambda state, action, key, prob: fenv.step(
+                    prob, cfg, state, action, key, eng))
+            self._reset_fn = lambda key: raw_reset(key, problem)
+            self._step_fn = (lambda state, action, key:
+                             raw_step(state, action, key, problem))
         self._key = jax.random.key(0 if seed is None else seed)
         self._state = None
 

@@ -140,6 +140,11 @@ def enable_persistent_compile_cache(cache_dir: "Optional[str]" = None) -> str:
     import os
 
     env = os.environ.get("SPINGLASS_JAX_CACHE", "").strip()
+    if not cache_dir and cache_dir is not None:
+        # the pre-r4 API used cache_dir="" as the disable sentinel; keep
+        # honoring it (ADVICE.md r4 #5: "" must not mean an enabled cache
+        # at a cwd-relative empty path)
+        return ""
     if cache_dir is None:
         # env kill-switch applies only when no explicit dir was passed —
         # a programmatic cache_dir argument always wins

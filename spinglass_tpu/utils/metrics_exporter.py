@@ -170,3 +170,57 @@ class MetricsServer:
         if self._thread:
             self._thread.join(timeout=2.0)
             self._thread = None
+
+
+_global_server: Optional[MetricsServer] = None
+
+
+def maybe_start_server_from_env() -> Optional[MetricsServer]:
+    """Start the global /metrics server when SGT_METRICS_PORT is set
+    (SGT_METRICS_HOST to bind non-loopback, e.g. 0.0.0.0 in a container).
+    Idempotent; returns the server or None. This is the in-process wiring
+    the docker-compose stack uses: the solver container sets the env vars
+    and Prometheus scrapes it directly (a separate `sgt monitor` process
+    could not see the solver's registry)."""
+    global _global_server
+    import os
+
+    port = os.environ.get("SGT_METRICS_PORT", "").strip()
+    if not port or _global_server is not None:
+        return _global_server
+    host = os.environ.get("SGT_METRICS_HOST", "127.0.0.1").strip()
+    _global_server = MetricsServer(host=host, port=int(port)).start()
+    return _global_server
+
+
+def publish_anneal_result(result, solver: str = "sa") -> None:
+    """Gauge the headline solver stats into the global registry (the
+    reference's grafana dashboard panels: flips/s, best energy, exchange
+    rate). Cheap dict writes; safe to call after every run."""
+    reg = global_registry()
+    labels = {"solver": solver}
+    reg.gauge_set("solver_flips_per_sec",
+                  float(getattr(result, "spin_flips_per_second", 0.0)),
+                  labels=labels, help_="spin flips per second, last run")
+    reg.gauge_set("solver_best_energy", float(result.best_energy),
+                  labels=labels, help_="best energy found, last run")
+    reg.counter_inc("solver_runs_total", 1.0, labels=labels,
+                    help_="completed solver runs")
+    rates = (getattr(result, "metadata", None) or {}).get("exchange_rates")
+    if rates is not None and len(rates):
+        import numpy as _np
+
+        reg.gauge_set("solver_exchange_rate_mean",
+                      float(_np.mean(_np.asarray(rates))), labels=labels,
+                      help_="mean PT replica-exchange acceptance, last run")
+
+
+def publish_rl_metrics(env_steps_per_second: float,
+                       final_mean_best_energy: float) -> None:
+    """Gauge RL-controller training stats (grafana env-steps/s panel)."""
+    reg = global_registry()
+    reg.gauge_set("rl_env_steps_per_sec", float(env_steps_per_second),
+                  help_="PPO/DQN steady-state env steps per second")
+    reg.gauge_set("rl_final_mean_best_energy",
+                  float(final_mean_best_energy),
+                  help_="mean best energy across envs at end of training")
