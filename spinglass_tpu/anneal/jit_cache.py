@@ -5,10 +5,19 @@ anneal(); without caching, every call re-traces and re-compiles (30-90 s per
 compile through a remote-compile tunnel) even for the same problem object and
 config — measured 10.2 s vs 0.71 s steady-state for a 10k-spin PT run.
 
-Entries are keyed by (id(problem), config, ...). The cache holds a strong
-reference to the problem object so its id cannot be recycled while the entry
-lives; an LRU bound caps the held memory. Equal-content but distinct problem
-objects still miss — reuse the problem object across solves to hit.
+Entries are keyed by (id(problem), config, ...) by default. The cache holds
+a strong reference to the problem object so its id cannot be recycled while
+the entry lives; an LRU bound caps the held memory.
+
+Since round 5, callers may pass ``signature`` — a hashable trace signature
+(shape/dtype/static-layout) — and same-signature problems SHARE the entry:
+post ADR-0004 every array crosses the jit boundary as an argument, so the
+compiled trace is content-independent and only the per-problem operands
+differ (the drivers rebuild those on a cross-object hit). This turns
+"solve 100 same-shape instances" from 100 compiles into 1. Dense
+IsingProblem provides ``trace_signature()``; sparse EllProblem does NOT
+(its degree-bucket/coloring layout is content-derived static metadata, so
+equal shapes can still produce different programs) and keeps id-keying.
 """
 
 from __future__ import annotations
@@ -27,8 +36,15 @@ class SolverCache:
         self.misses = 0
 
     def get_or_build(self, problem: Any, key: Hashable,
-                     builder: Callable[[], Any]) -> Any:
-        full_key = (id(problem), key)
+                     builder: Callable[[], Any],
+                     signature: Hashable = None) -> Any:
+        """``signature`` None -> key by object identity (problem pinned so
+        its id can't recycle). Non-None -> key by the signature; distinct
+        same-signature problems share the entry (see module docstring)."""
+        if signature is not None:
+            full_key, pin = ("sig", signature, key), None
+        else:
+            full_key, pin = ("id", id(problem), key), problem
         with self._lock:
             if full_key in self._d:
                 self._d.move_to_end(full_key)
@@ -38,7 +54,7 @@ class SolverCache:
         value = builder()
         with self._lock:
             self.misses += 1
-            self._d[full_key] = (value, problem)  # problem ref pins the id
+            self._d[full_key] = (value, pin)  # pin holds id-mode problems
             while len(self._d) > self.max_entries:
                 self._d.popitem(last=False)
         return value

@@ -417,12 +417,21 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
         run_all.operands = super_step.operands_for_step
         return run_all, engine
 
-    # reuse the compiled executable across run() calls for the same problem
-    # object + config (otherwise every call re-traces and re-compiles). The
+    # reuse the compiled executable across run() calls — same problem
+    # object + config, or (dense problems) any same-trace-signature problem:
+    # run_all's trace is content-independent (prob/eng_ops are arguments),
+    # so a cross-object hit only needs operands from a fresh engine. The
     # ladder is a RUNTIME argument, so ladder tuning / overrides also reuse it.
     from spinglass_tpu.anneal.jit_cache import pt_cache
 
-    run_all, engine = pt_cache().get_or_build(problem, cfg, _build)
+    sig = (problem.trace_signature()
+           if hasattr(problem, "trace_signature") else None)
+    run_all, engine = pt_cache().get_or_build(problem, cfg, _build,
+                                              signature=sig)
+    operands = run_all.operands
+    if engine.problem is not problem:
+        fresh_step, _, engine = make_pt_step(problem, cfg)
+        operands = fresh_step.operands_for_step
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)
@@ -431,7 +440,7 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
 
     t0 = time.perf_counter()
     out = jax.device_get(run_all(key, betas_ladder, problem,
-                                 run_all.operands()))  # one dispatch, one read
+                                 operands()))  # one dispatch, one read
     total = time.perf_counter() - t0
     res = _assemble_result(problem, cfg, out, betas_ladder, n_super, total)
     try:  # prometheus gauges (no-op cost when nothing scrapes them)
@@ -515,15 +524,21 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
 
     from spinglass_tpu.anneal.jit_cache import pt_cache
 
+    sig = (problem.trace_signature()
+           if hasattr(problem, "trace_signature") else None)
     engine, init_jit, segment = pt_cache().get_or_build(
-        problem, ("seg", cfg), _build)
+        problem, ("seg", cfg), _build, signature=sig)
+    operands = segment.operands
+    if engine.problem is not problem:  # cross-object signature hit
+        fresh_step, _, engine = make_pt_step(problem, cfg)
+        operands = fresh_step.operands_for_step
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)
     if key is None:
         key = jax.random.key(cfg.seed)
 
-    eng_ops = segment.operands()
+    eng_ops = operands()
     state = init_jit(key, betas_ladder, problem, eng_ops)
     hists: list = []
     done_super = 0

@@ -206,12 +206,18 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
 
         return engine, jax.jit(chunk, static_argnames=("n_sweeps",))
 
-    # reuse engine + compiled chunk across anneal() calls for the same
-    # problem object + config (see jit_cache.py)
+    # reuse engine + compiled chunk across anneal() calls — same problem
+    # object, or (dense problems) ANY problem with the same trace signature:
+    # the chunk's trace is content-independent (arrays are arguments), so a
+    # cross-object hit only needs fresh engine operands (see jit_cache.py)
     from spinglass_tpu.anneal.jit_cache import sa_cache
 
+    sig = (problem.trace_signature()
+           if hasattr(problem, "trace_signature") else None)
     engine, chunk_jit = sa_cache().get_or_build(problem, ("anneal", config),
-                                                _build)
+                                                _build, signature=sig)
+    if engine.problem is not problem:
+        engine = make_sweep_engine(problem, config)
 
     state = init_state(problem, config, engine, key, init_spins)
     eng_ops = engine.operands()

@@ -60,6 +60,16 @@ class IsingProblem:
     def n_padded(self) -> int:
         return self.j.shape[-1]
 
+    def trace_signature(self):
+        """Hashable signature of everything that shapes a compiled solver
+        program for this problem (shapes/dtypes/static aux — NOT content).
+        Same-signature problems can share jitted solver executables because
+        all arrays cross the jit boundary as arguments (ADR-0004); see
+        anneal.jit_cache.SolverCache. Sparse EllProblem deliberately has no
+        trace_signature: its bucket/coloring layout is content-derived."""
+        return ("ising", self.n_spins, self.j.shape,
+                str(self.j.dtype), str(self.h.dtype))
+
     # ---- constructors -----------------------------------------------------
 
     @staticmethod

@@ -278,6 +278,119 @@ def _make_kernel_folded(rule: str, block_size: int, kernel_rng: bool,
     return kernel
 
 
+def _make_kernel_interleaved(rule: str, block_size: int, kernel_rng: bool,
+                             precision, rt: int, nchains: int,
+                             j_bf16: bool = False, micro: int = MICRO):
+    """Chain-interleaved variant (round-5, VERDICT.md r4 task 3).
+
+    The flat kernel's sequential phase is bound by the LATENCY of the
+    per-spin dependency chain: spin j's accept decision writes an ht
+    correction that spin j+1's decision reads back, and because ht is ONE
+    VMEM scratch ref, every step's load waits on the previous step's store
+    (the folded r4 variant shortened the instruction stream 8x and measured
+    neutral — issue width was never the bound). Here the replica tile is
+    split into ``nchains`` independent sub-tiles with PRIVATE ht/sblk/dsb/fb
+    scratch refs, and their per-spin steps are interleaved in program order:
+    chain A step j, chain B step j, chain A step j+1, ... Writes to chain
+    A's refs provably cannot alias chain B's, so Mosaic can issue B's
+    compare/select/fma while A's store->load chain drains — up to
+    ``nchains``x latency hiding with identical total VPU work.
+
+    Decisions are bit-identical to the flat kernel for the same uniforms:
+    chain ci owns replica lanes [ci*rc, (ci+1)*rc) of the tile and every
+    op is lane-wise (parity-tested in tests/unit/test_sweeps.py).
+
+    Measurement notes live below in this docstring once taken on v5e with
+    the hardened marginal protocol ((t500-t100)/400, min of 5 interleaved
+    trials, one process)."""
+    prec = _PRECISIONS[precision]
+    if rt % nchains:
+        raise ValueError(f"replica tile {rt} not divisible by {nchains}")
+    rc = rt // nchains
+    if rc % 128:
+        raise ValueError(f"per-chain width {rc} must be lane-aligned (128)")
+
+    def kernel(seed_ref, jrows_ref, jbb_ref, jbb_od_ref, h_ref, u_ref,
+               beta_ref, s_in_ref, s_io_ref, de_out, cnt_out, *scr):
+        # scr layout: ub [B, rt] shared (read-only in the loop), then
+        # nchains each of ht / sblk / dsb / fb, all [B, rc] PRIVATE
+        ub = scr[0]
+        hts = scr[1:1 + nchains]
+        sbs = scr[1 + nchains:1 + 2 * nchains]
+        dss = scr[1 + 2 * nchains:1 + 3 * nchains]
+        fbs = scr[1 + 3 * nchains:1 + 4 * nchains]
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        bb = block_size
+
+        @pl.when(b == 0)
+        def _():
+            s_io_ref[:] = s_in_ref[:]
+            de_out[:] = jnp.zeros_like(de_out)
+            cnt_out[:] = jnp.zeros_like(cnt_out)
+
+        i0 = pl.multiple_of(b * bb, bb)
+        # per-chain row-block matmuls (same MXU flops as one flat pass;
+        # rc >= 128 keeps every pass lane-full)
+        for ci in range(nchains):
+            sl = slice(ci * rc, (ci + 1) * rc)
+            if j_bf16:
+                hts[ci][:] = jnp.dot(
+                    jrows_ref[:], s_io_ref[:, sl].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + h_ref[:]
+            else:
+                hts[ci][:] = jnp.dot(jrows_ref[:], s_io_ref[:, sl],
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec) + h_ref[:]
+            sbs[ci][:] = s_io_ref[pl.ds(i0, bb), sl]
+        if kernel_rng:
+            # same stream as the flat kernel: one [B, rt] draw per block
+            pltpu.prng_seed(seed_ref[0] + t * pl.num_programs(1) + b)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(ub.shape), jnp.int32)
+            ub[:] = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+            ub[:] = ub[:] + u_ref[:]
+        else:
+            ub[:] = u_ref[:]
+        nib = -0.5 / beta_ref[:]
+        if rule == "metropolis":
+            th = jnp.log(ub[:]) * nib
+        else:
+            th = (jnp.log(ub[:]) - jnp.log1p(-jnp.minimum(ub[:], 0.999999))) \
+                * nib
+        ub[:] = jnp.where(ub[:] < 1.0, th, -jnp.inf)
+        for c in range(bb // micro):
+            lo, hi = c * micro, (c + 1) * micro
+            for j in range(micro):
+                jj = lo + j
+                start = lo + (j // 8) * 8  # aligned-floor (see _make_kernel)
+                col = jbb_ref[start:hi, jj:jj + 1]
+                # the interleave: consecutive statements belong to
+                # DIFFERENT chains' private refs -> independent, so each
+                # chain's store->load latency hides under the others' issue
+                for ci in range(nchains):
+                    row = sbs[ci][jj:jj + 1, :]
+                    f = hts[ci][jj:jj + 1, :]
+                    acc = row * f < ub[jj:jj + 1, ci * rc:(ci + 1) * rc]
+                    ds = jnp.where(acc, -2.0 * row, 0.0)
+                    sbs[ci][jj:jj + 1, :] = row + ds
+                    dss[ci][jj:jj + 1, :] = ds
+                    fbs[ci][jj:jj + 1, :] = f
+                    hts[ci][start:hi, :] = hts[ci][start:hi, :] + col * ds
+            for ci in range(nchains):
+                hts[ci][:] = hts[ci][:] + jnp.dot(
+                    jbb_od_ref[:, lo:hi], dss[ci][lo:hi, :],
+                    preferred_element_type=jnp.float32, precision=prec)
+        for ci in range(nchains):
+            sl = slice(ci * rc, (ci + 1) * rc)
+            s_io_ref[pl.ds(i0, bb), sl] = sbs[ci][:]
+            de_out[:, sl] = de_out[:, sl] - jnp.sum(
+                dss[ci][:] * fbs[ci][:], axis=0, keepdims=True)
+            cnt_out[:, sl] = cnt_out[:, sl] + 0.5 * jnp.sum(
+                jnp.abs(dss[ci][:]), axis=0, keepdims=True)
+
+    return kernel
+
+
 def _make_kernel_pipe(rule: str, block_size: int, kernel_rng: bool, precision,
                       j_bf16: bool = False, micro: int = MICRO):
     """Software-pipelined variant: grid step bp PRE-COMPUTES block bp's local
@@ -461,7 +574,8 @@ def _pick_replica_tile(n_pad: int, r: int, block_size: int,
 def _build_call(n_pad: int, r: int, block_size: int, rule: str,
                 kernel_rng: bool, precision, interpret: bool, dtype,
                 replica_tile: int = 0, j_bf16: bool = False,
-                micro: int = MICRO, folded: bool = False):
+                micro: int = MICRO, folded: bool = False,
+                interleave: int = 0):
     n_blocks = n_pad // block_size
     rt = replica_tile or _pick_replica_tile(n_pad, r, block_size)
     if r % rt != 0:
@@ -470,7 +584,18 @@ def _build_call(n_pad: int, r: int, block_size: int, rule: str,
     if folded and rt % 8 != 0:
         raise ValueError(f"folded kernel needs replica tile % 8 == 0, "
                          f"got {rt}")
-    if folded:
+    if folded and interleave:
+        raise ValueError("folded and interleave cannot combine")
+    if interleave:
+        kernel = _make_kernel_interleaved(rule, block_size, kernel_rng,
+                                          precision, rt, interleave,
+                                          j_bf16, micro)
+        rc = rt // interleave
+        scratches = [pltpu.VMEM((block_size, rt), jnp.float32)]  # ub shared
+        for _ in range(4):  # ht / sblk / dsb / fb, one PRIVATE ref per chain
+            scratches += [pltpu.VMEM((block_size, rc), jnp.float32)
+                          for _ in range(interleave)]
+    elif folded:
         kernel = _make_kernel_folded(rule, block_size, kernel_rng,
                                      precision, rt, j_bf16, micro)
         scratches = [
@@ -600,7 +725,7 @@ class FusedSweep:
                  rule: str = "metropolis", precision=None,
                  interpret: bool = False, j_dtype=jnp.float32,
                  micro: int = MICRO, pipelined: bool = False,
-                 folded: bool = False):
+                 folded: bool = False, interleave: int = 0):
         from spinglass_tpu.kernels.sweeps import canonical_rule
         n_pad = problem.n_padded
         if n_pad % block_size != 0:
@@ -615,11 +740,16 @@ class FusedSweep:
         self.micro = micro
         self.pipelined = pipelined
         self.folded = folded
+        self.interleave = interleave  # chains with private scratch refs
+        # (see _make_kernel_interleaved); 0/1 = flat kernel
         if pipelined and folded:
             raise ValueError(
                 "pipelined and folded kernel variants cannot combine — "
                 "the pipelined builder has no folded form and silently "
                 "running the flat kernel would misattribute measurements")
+        if interleave and (pipelined or folded):
+            raise ValueError(
+                "interleave cannot combine with pipelined/folded")
         self.j32 = problem.j.astype(j_dtype)
         # jbb blocks stay f32 (VPU elementwise + small MXU passes)
         self.jbb_all = _diag_blocks(self.j32, block_size).astype(jnp.float32)
@@ -657,7 +787,10 @@ class FusedSweep:
         key = (r, kernel_rng)
         if key not in self._calls:
             build = _build_call_pipe if self.pipelined else _build_call
-            kwargs = {} if self.pipelined else {"folded": self.folded}
+            kwargs = ({} if self.pipelined else
+                      {"folded": self.folded,
+                       "interleave": 0 if self.interleave in (0, 1)
+                       else self.interleave})
             self._calls[key] = build(
                 self.problem.n_padded, r, self.block_size, self.rule,
                 kernel_rng, self.precision, self.interpret, jnp.float32,

@@ -401,7 +401,7 @@ class TestShardedPallas:
         n_dev = mesh.devices.size
         r = 2 * n_dev
         cfg = PTConfig(n_replicas=r, sweep_method="blocked",
-                       use_pallas="always")
+                       use_pallas="always", block_size=64)
         engine = make_sharded_engine(p, cfg, mesh)
         from spinglass_tpu.core.problem import random_spins
 

@@ -461,3 +461,65 @@ class TestPTExchangeModes:
             res, str(tmp_path / "xmat.png"))
         import os
         assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+class TestSignatureSharedSolverCache:
+    """Round-5: same-trace-signature dense problems share compiled solver
+    executables (jit_cache.SolverCache signature keying) — a cross-object
+    hit must rebuild operands for the CURRENT problem and reproduce a
+    cold-cache solve exactly."""
+
+    def _p(self, seed, n=24):
+        j = topology.fully_connected(n, dist="gaussian",
+                                     scale=1.0 / np.sqrt(n), seed=seed)
+        return IsingProblem.from_dense(j)
+
+    def test_sa_cross_object_hit_exact(self):
+        from spinglass_tpu.anneal.jit_cache import sa_cache
+
+        cfg = SA.SAConfig(n_sweeps=60, n_replicas=4, use_pallas="never", seed=3)
+        p1, p2 = self._p(0), self._p(1)
+        sa_cache().clear()
+        SA.anneal(p1, cfg)
+        h0 = sa_cache().hits
+        warm = SA.anneal(p2, cfg)          # signature hit, different content
+        assert sa_cache().hits == h0 + 1
+        sa_cache().clear()
+        cold = SA.anneal(p2, cfg)          # fresh build for the same problem
+        assert warm.best_energy == cold.best_energy
+        np.testing.assert_array_equal(warm.best_spins, cold.best_spins)
+        # and the two problems genuinely got different answers
+        assert warm.best_energy != SA.anneal(p1, cfg).best_energy
+
+    def test_pt_cross_object_hit_exact(self):
+        from spinglass_tpu.anneal import pt as pt_mod
+        from spinglass_tpu.anneal.jit_cache import pt_cache
+
+        cfg = pt_mod.PTConfig(n_replicas=4, n_sweeps=40,
+                              exchange_interval=10, use_pallas="never",
+                              seed=5)
+        p1, p2 = self._p(2), self._p(3)
+        pt_cache().clear()
+        pt_mod.run(p1, cfg)
+        h0 = pt_cache().hits
+        warm = pt_mod.run(p2, cfg)
+        assert pt_cache().hits == h0 + 1
+        pt_cache().clear()
+        cold = pt_mod.run(p2, cfg)
+        assert warm.best_energy == cold.best_energy
+        np.testing.assert_array_equal(warm.best_spins, cold.best_spins)
+
+    def test_different_n_spins_do_not_collide(self):
+        # same padded shape (both pad to 128) but different logical size:
+        # signatures differ, so no sharing
+        p1, p2 = self._p(0, n=24), self._p(0, n=32)
+        assert p1.n_padded == p2.n_padded
+        assert p1.trace_signature() != p2.trace_signature()
+
+    def test_ell_problem_keeps_id_keying(self):
+        from spinglass_tpu.kernels.sparse import EllProblem
+
+        coo = topology.sparse_random_graph_coo(64, avg_degree=4.0,
+                                               dist="gaussian", seed=0)
+        ell = EllProblem.from_coo(64, *coo)
+        assert not hasattr(ell, "trace_signature")

@@ -36,6 +36,8 @@ class TestAnnealers:
 
 
 class TestFramework:
+    @pytest.mark.slow  # the 4x2 validate cross-product; each algorithm's
+    # solve path stays covered non-slow by TestAnnealers (suite budget)
     def test_validate_report_shape(self, problem, tmp_path):
         fw = B.BreakthroughResearchFramework(CFG, n_trials=2)
         report = fw.validate(problem)

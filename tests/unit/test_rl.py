@@ -614,13 +614,13 @@ class TestUpdatesPerDispatchParity:
         only exercised by bench_rl."""
         p = _problem(n=16, seed=2)
         env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8)
-        base = dict(n_updates=7, rollout_len=3, n_epochs=1, n_minibatches=1,
+        base = dict(n_updates=5, rollout_len=3, n_epochs=1, n_minibatches=1,
                     hidden_sizes=(16,), seed=5)
         out1 = ppo_mod.train(p, env_cfg,
                              ppo_mod.PPOConfig(**base, updates_per_dispatch=1))
         out3 = ppo_mod.train(p, env_cfg,
                              ppo_mod.PPOConfig(**base, updates_per_dispatch=3))
-        assert len(out1["history"]) == len(out3["history"]) == 7
+        assert len(out1["history"]) == len(out3["history"]) == 5
         for h1, h3 in zip(out1["history"], out3["history"]):
             assert h1.keys() == h3.keys()
             for k in h1:

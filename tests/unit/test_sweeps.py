@@ -171,10 +171,12 @@ class TestPallasKernel:
         spins = random_spins(k1, (4, p.n_padded), p.active_mask)
         u = jax.random.uniform(k2, (4, p.n_padded))
         beta = jnp.float32(0.8)
-        s_x, de_x, cnt_x = K.blocked_sweep(p, spins, beta, u, block_size=64,
+        # block 32 halves the unrolled interpret-mode trace vs 64 (same
+        # parity coverage; suite-budget VERDICT r4 task 8)
+        s_x, de_x, cnt_x = K.blocked_sweep(p, spins, beta, u, block_size=32,
                                            rule=rule)
         s_p, de_p, cnt_p = MP.blocked_sweep_pallas(
-            p, spins, beta, u, block_size=64, rule=rule, interpret=True)
+            p, spins, beta, u, block_size=32, rule=rule, interpret=True)
         np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
         np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
         np.testing.assert_allclose(np.asarray(de_x), np.asarray(de_p),
@@ -342,3 +344,39 @@ class TestFoldedKernel:
         np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_f))
         np.testing.assert_allclose(np.asarray(de_b), np.asarray(de_f),
                                    atol=1e-3)
+
+
+@pytest.mark.slow
+class TestInterleavedKernel:
+    @pytest.mark.parametrize("nchains", [2, 4])
+    def test_interleaved_matches_base_decisions(self, key, nchains):
+        """Chain-interleaved FusedSweep (r5, VERDICT r4 task 3: private
+        per-chain scratch refs so independent replica sub-tiles' dependency
+        chains hide each other's latency) must make bitwise-identical
+        decisions to the flat kernel under the same uniforms — every op is
+        lane-wise, chains only re-partition the replica axis."""
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
+
+        p = _mk_problem(48, seed=13)
+        r = 128 * nchains  # rc = 128, the lane-alignment minimum
+        base = FusedSweep(p, block_size=128, interpret=True)
+        inter = FusedSweep(p, block_size=128, interpret=True,
+                           interleave=nchains)
+        k1, k2 = jax.random.split(key)
+        s = random_spins(k1, (r, p.n_padded), p.active_mask).T
+        u = jax.random.uniform(k2, (p.n_padded, r), jnp.float32)
+        beta = jnp.full((r,), 0.8, jnp.float32)
+        s_b, de_b, cnt_b = base.sweep_with_uniforms(s, beta, u)
+        s_i, de_i, cnt_i = inter.sweep_with_uniforms(s, beta, u)
+        np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_i))
+        np.testing.assert_array_equal(np.asarray(cnt_b), np.asarray(cnt_i))
+        np.testing.assert_allclose(np.asarray(de_b), np.asarray(de_i),
+                                   atol=1e-3)
+
+    def test_interleave_validates(self):
+        from spinglass_tpu.kernels.metropolis_pallas import FusedSweep
+
+        p = _mk_problem(48, seed=13)
+        with pytest.raises(ValueError, match="combine"):
+            FusedSweep(p, interleave=2, folded=True)
