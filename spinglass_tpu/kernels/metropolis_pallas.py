@@ -300,9 +300,15 @@ def _make_kernel_interleaved(rule: str, block_size: int, kernel_rng: bool,
     chain ci owns replica lanes [ci*rc, (ci+1)*rc) of the tile and every
     op is lane-wise (parity-tested in tests/unit/test_sweeps.py).
 
-    Measurement notes live below in this docstring once taken on v5e with
-    the hardened marginal protocol ((t500-t100)/400, min of 5 interleaved
-    trials, one process)."""
+    MEASURED NEUTRAL on v5e (N=4096 R=1024 b256 m32, marginal protocol
+    (t500-t100)/400, 5 interleaved trials, one process): flat 388-395,
+    interleave=2 390 median (one 363 outlier trial), interleave=4 422-427
+    us/sweep (WORSE — [1, 256] per-op width pays fixed instruction
+    overheads). Together with the r4 folded-neutral and pipelined-neutral
+    results this rules latency OUT as the bound: the sequential phase is a
+    throughput balance of MXU (~220 us) and VPU (~265 us) work already
+    ~75% overlapped — see docs/adr/0001 addendum. Kept as an option; the
+    flat kernel stays the default."""
     prec = _PRECISIONS[precision]
     if rt % nchains:
         raise ValueError(f"replica tile {rt} not divisible by {nchains}")
