@@ -701,6 +701,205 @@ def make_sorted_t_sweep_fused(groups, mask_col, rule, spin_dtype,
     return sweep
 
 
+def build_single_tables(groups, n_sorted: int, rps: int = 32):
+    """Flatten build_sorted_t's per-color bucket lists into whole-layout
+    row tables for the single-call sweep kernel (make_single_sweep_call):
+
+      idx_all [NS, KMAX] int32 — neighbor SORTED rows, nonzeros first
+      val_all [NS, KMAX] f32   — couplings (0 padding)
+      ks      [NS/rps, 1] int32 — per-STEP edge-slot bound: max true
+                                 neighbor count over the step's rows (the
+                                 kernel statically unrolls KMAX edge slots
+                                 and skips slot e when e >= ks — a dynamic
+                                 per-row loop measured 20.3 vs 2.4 ns/edge)
+      h_all   [NS, 1]   f32    — external fields (0 on inert rows)
+    """
+    kmax = max((b.k for _, _, bs in groups for b in bs), default=1)
+    idx_all = np.zeros((n_sorted, kmax), np.int32)
+    val_all = np.zeros((n_sorted, kmax), np.float32)
+    krow = np.zeros(n_sorted, np.int32)
+    h_all = np.zeros((n_sorted, 1), np.float32)
+    for _, _, bs in groups:
+        for b in bs:
+            i0 = b.off
+            v = np.asarray(b.val)
+            idx_all[i0:i0 + b.m, :b.k] = np.asarray(b.idx)
+            val_all[i0:i0 + b.m, :b.k] = v
+            krow[i0:i0 + b.m] = (v != 0).sum(axis=1)
+            h_all[i0:i0 + b.m, 0] = np.asarray(b.h)
+    ks = krow.reshape(n_sorted // rps, rps).max(axis=1)[:, None]
+    return (jnp.asarray(idx_all), jnp.asarray(val_all),
+            jnp.asarray(ks.astype(np.int32)), jnp.asarray(h_all), kmax)
+
+
+def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
+                           kernel_rng: bool = True, rows_per_step: int = 32,
+                           interpret: bool = False):
+    """ONE pallas_call for the ENTIRE colored sparse sweep (round-5,
+    VERDICT.md r4 task 4): neighbor gather, local fields, threshold RNG,
+    accept, flip and dE/count reduction all happen in-kernel, with spins
+    [NS, R] f32 VMEM-resident (constant index_map + input/output aliasing,
+    same pattern as the dense FusedSweep).
+
+    Why this wins over the per-color XLA path: XLA's `s_t[idx]` gather
+    MATERIALIZES the [m, k, R] gather to HBM and the einsum reads it back
+    (measured 24.8 ns/edge-row at [10240, 1024]); the in-kernel gather
+    keeps rows in VMEM (measured 9.5 ns/edge-row — probe r5). It also
+    kills the [NS, R] threshold round trip, the per-color concats and the
+    n_colors-per-sweep pallas_call overheads that made the r4 per-color
+    fused-accept variant 7% slower.
+
+    Sequencing: the grid runs color-sorted 32-row steps IN ORDER (TPU
+    grid execution is sequential) over the shared VMEM spin buffer, so a
+    later color's gather sees every earlier color's flips — identical
+    update semantics to make_sorted_t_sweep. Rows within a step belong to
+    one color (color spans are 32-aligned) and colors are independent
+    sets, so intra-step gathers never read rows the step itself flips.
+
+    ``kernel_rng=False`` takes a precomputed threshold array th [NS, R]
+    instead of the on-chip PRNG — bit-identical decisions to
+    make_sorted_t_sweep under the same thresholds (the parity-test mode;
+    also the CPU/interpret path since pltpu.prng_* has no CPU lowering).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rps = rows_per_step
+    assert n_sorted % rps == 0
+    n_steps = n_sorted // rps
+
+    def body(b, seed_ref, idx_ref, kr_ref, val_ref, h_ref, rng_in,
+             s_io_ref, de_out, cnt_out, th, acc):
+        """rng_in: (mask_ref, nib_ref) for kernel RNG, (th_in_ref,) for
+        precomputed thresholds."""
+        if kernel_rng:
+            mask_ref, nib_ref = rng_in
+            # per-step stream: both key words, step id folded into word 1
+            # with a golden-ratio odd multiply (Mosaic caps prng_seed at 2
+            # values; see make_threshold_call)
+            pltpu.prng_seed(seed_ref[0],
+                            seed_ref[1] ^ (b * jnp.int32(-1640531527)))
+            bits = pltpu.bitcast(pltpu.prng_random_bits((rps, r)),
+                                 jnp.int32)
+            u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+            if rule == "metropolis":
+                t = jnp.log(u) * nib_ref[:]
+            else:  # glauber
+                t = (jnp.log(u) - jnp.log1p(-jnp.minimum(u, 0.999999))) \
+                    * nib_ref[:]
+            t = jnp.where(u < 1.0, t, -jnp.inf)       # ADVICE r4 #1 guard
+            th[:] = jnp.where(mask_ref[:] < 0, -jnp.inf, t)
+        else:
+            (th_in_ref,) = rng_in
+            th[:] = th_in_ref[:]                      # pre-masked upstream
+        # Gather/field phase: STATICALLY unrolled edge slots with one
+        # scalar per-STEP predicate each. A dynamic per-row fori_loop
+        # measured 20.3 ns/edge vs 2.4 ns static-unrolled (v5e probe —
+        # the loop overhead, not the loads, dominated the v1 kernel); the
+        # step-level `e < ks` guard skips unused high-degree slots for
+        # low-degree steps, and val=0 padding inertly fills the rest.
+        # The accept phase runs vectorized on the whole [rps, R] step
+        # (same-color rows are independent; per-row accepts cost ~500
+        # us/sweep at [10k, 1024] in the v1 kernel).
+        acc[:] = jnp.zeros((rps, r), jnp.float32) + h_ref[:]
+        ks = kr_ref[b, 0]
+        for e in range(kmax):
+            @pl.when(e < ks)
+            def _(e=e):
+                for i in range(rps):
+                    row = idx_ref[i, e]
+                    acc[i:i + 1, :] = (acc[i:i + 1, :]
+                                       + val_ref[i, e]
+                                       * s_io_ref[pl.ds(row, 1), :])
+        blk = pl.ds(b * rps, rps)
+        s_blk = s_io_ref[blk, :]
+        sf = s_blk * acc[:]
+        a = sf < th[:]
+        s_io_ref[blk, :] = jnp.where(a, -s_blk, s_blk)
+        de_out[:] = de_out[:] + 2.0 * jnp.sum(jnp.where(a, sf, 0.0),
+                                              axis=0, keepdims=True)
+        cnt_out[:] = cnt_out[:] + jnp.sum(a.astype(jnp.float32), axis=0,
+                                          keepdims=True)
+
+    if kernel_rng:
+        def kernel(seed_ref, idx_ref, kr_ref, val_ref, h_ref, mask_ref,
+                   nib_ref, s_in_ref, s_io_ref, de_out, cnt_out,
+                   th, acc):
+            b = pl.program_id(0)
+
+            @pl.when(b == 0)
+            def _():
+                s_io_ref[:] = s_in_ref[:]
+                de_out[:] = jnp.zeros_like(de_out)
+                cnt_out[:] = jnp.zeros_like(cnt_out)
+
+            body(b, seed_ref, idx_ref, kr_ref, val_ref, h_ref,
+                 (mask_ref, nib_ref), s_io_ref, de_out, cnt_out, th, acc)
+
+        rng_specs = [
+            pl.BlockSpec((rps, 1), lambda b, s: (b, 0)),      # mask col
+            pl.BlockSpec((1, r), lambda b, s: (0, 0)),        # nib
+        ]
+    else:
+        def kernel(seed_ref, idx_ref, kr_ref, val_ref, h_ref, th_in_ref,
+                   s_in_ref, s_io_ref, de_out, cnt_out, th, acc):
+            b = pl.program_id(0)
+
+            @pl.when(b == 0)
+            def _():
+                s_io_ref[:] = s_in_ref[:]
+                de_out[:] = jnp.zeros_like(de_out)
+                cnt_out[:] = jnp.zeros_like(cnt_out)
+
+            body(b, seed_ref, idx_ref, kr_ref, val_ref, h_ref,
+                 (th_in_ref,), s_io_ref, de_out, cnt_out, th, acc)
+
+        rng_specs = [
+            pl.BlockSpec((rps, r), lambda b, s: (b, 0)),      # th_in
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,           # seed [2] (SMEM scalars)
+        grid=(n_steps,),
+        scratch_shapes=[
+            pltpu.VMEM((rps, r), jnp.float32),        # th
+            pltpu.VMEM((rps, r), jnp.float32),        # acc / f rows
+        ],
+        in_specs=[
+            pl.BlockSpec((rps, kmax), lambda b, s: (b, 0),
+                         memory_space=pltpu.SMEM),     # idx
+            pl.BlockSpec((n_steps, 1), lambda b, s: (0, 0),
+                         memory_space=pltpu.SMEM),     # ks (whole table)
+            pl.BlockSpec((rps, kmax), lambda b, s: (b, 0),
+                         memory_space=pltpu.SMEM),     # val (scalar reads)
+            pl.BlockSpec((rps, 1), lambda b, s: (b, 0)),   # h (vector add)
+        ] + rng_specs + [
+            pl.BlockSpec((n_sorted, r), lambda b, s: (0, 0)),  # s_in
+        ],
+        out_specs=(
+            pl.BlockSpec((n_sorted, r), lambda b, s: (0, 0)),
+            pl.BlockSpec((1, r), lambda b, s: (0, 0)),
+            pl.BlockSpec((1, r), lambda b, s: (0, 0)),
+        ),
+    )
+    # operand index of s_in counting the scalar-prefetch seed:
+    # seed, idx, krow, val, h, <2 rng-mode operands or 1 th>, s_in
+    s_in_index = 5 + len(rng_specs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_sorted, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.float32),
+        ),
+        input_output_aliases={s_in_index: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
 def make_sorted_t_sweep(groups):
     """Traceable transposed sorted sweep: spins [NS, R] (int8 or f32),
     thresholds [NS, R] f32 (pre-masked). Per color the degree buckets all
@@ -807,10 +1006,60 @@ class SortedSparseTEngine:
                 "accept_kernel='fused' requires a TPU backend (the "
                 "kernel's on-chip PRNG has no CPU lowering); use the "
                 "default threshold path off-TPU")
+        # single-call whole-sweep kernel (r5, VERDICT r4 task 4): gather +
+        # fields + threshold + flip for ALL colors in ONE pallas_call with
+        # spins VMEM-resident (see make_single_sweep_call). Carries f32
+        # spins ([1, R] f32 rows gather at 1/8 sublane use; int8 rows
+        # would be 1/32 and selects on int8 crash Mosaic — r3 finding).
+        # MEASURED on v5e [10k spins, deg 6, R=1024], marginal protocol:
+        # 478 us/sweep = 21.4 Gflips/s vs the threshold path's 996 us
+        # (10.3 G) — 2.1x, and BELOW the old 553 us "gather floor"
+        # (that floor was an XLA artifact: XLA materializes the [m, k, R]
+        # gather to HBM; the in-kernel gather stays in VMEM). DEFAULT on
+        # TPU via accept_kernel="auto"; falls back to the threshold path
+        # when the replica count is not lane-aligned (r % 128 != 0).
+        self._accept_kernel = accept_kernel
+        self._use_single = (accept_kernel == "single"
+                            or (accept_kernel == "auto"
+                                and jax.default_backend() == "tpu"))
+        if self._use_single:
+            self.spin_dtype = jnp.dtype(jnp.float32)
+            (self._sidx, self._skrow, self._sval, self._sh,
+             self._skmax) = self._single_tables()
+        self._single_calls = {}
         self._sweep = make_sorted_t_sweep(self.groups)
         self._sweep_fused = make_sorted_t_sweep_fused(
             self.groups, self.mask_col, self.rule, self.spin_dtype)
         self._th_calls = {}
+
+    def _single_tables(self):
+        idx_all, val_all, krow, h_all, kmax = build_single_tables(
+            self.groups, self.n_sorted)
+        return idx_all, krow, val_all, h_all, kmax
+
+    def _single_call(self, r, kernel_rng, interpret=False):
+        key = (r, kernel_rng, interpret)
+        if key not in self._single_calls:
+            self._single_calls[key] = make_single_sweep_call(
+                self.n_sorted, r, self._skmax, self.rule,
+                kernel_rng=kernel_rng, interpret=interpret)
+        return self._single_calls[key]
+
+    def _sweep_single(self, spins_t, beta, key):
+        r = spins_t.shape[1]
+        s32 = spins_t.astype(jnp.float32)
+        if jax.default_backend() == "tpu":
+            beta_r = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
+            nib = (-0.5 / beta_r)[None, :]
+            s, de, cnt = self._single_call(r, True)(
+                self._seed_words(key), self._sidx, self._skrow, self._sval,
+                self._sh, self.mask_col, nib, s32)
+        else:  # CPU/interpret: host thresholds (no pltpu PRNG lowering)
+            th = self._thresholds(r, beta, key)
+            s, de, cnt = self._single_call(r, False, interpret=True)(
+                self._seed_words(key), self._sidx, self._skrow, self._sval,
+                self._sh, th, s32)
+        return s, de[0], cnt[0].astype(jnp.int32)
 
     # -- layout ------------------------------------------------------------
     def to_layout(self, spins_rn):
@@ -865,11 +1114,15 @@ class SortedSparseTEngine:
 
     def sweep(self, spins_t, beta, key):
         r = spins_t.shape[1]
-        if self._use_fused_accept and r % 128 != 0:
+        if ((self._use_fused_accept
+             or self._accept_kernel == "single") and r % 128 != 0):
             raise ValueError(
-                f"accept_kernel='fused' needs replica count % 128 == 0 "
-                f"(got {r}); falling back silently would benchmark the "
-                f"wrong code path")
+                f"accept_kernel='fused'/'single' needs replica count % 128 "
+                f"== 0 (got {r}); falling back silently would benchmark "
+                f"the wrong code path")
+        if self._use_single and r % 128 == 0:
+            # auto mode falls back to the threshold path for unaligned r
+            return self._sweep_single(spins_t, beta, key)
         if self._use_fused_accept:
             beta_r = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
             nib = (-0.5 / beta_r)[None, :]
@@ -879,21 +1132,33 @@ class SortedSparseTEngine:
 
     def sweep_with_uniforms(self, spins_t, beta, uniforms_t):
         """Deterministic-uniform entry (tests): uniforms in the SORTED
-        transposed layout — sorted row p consumes uniforms_t[p, :]."""
+        transposed layout — sorted row p consumes uniforms_t[p, :].
+        In single-call mode this drives the no-RNG kernel variant, which
+        must be decision-identical to the per-color XLA sweep under the
+        same thresholds."""
         from spinglass_tpu.kernels.sweeps import accept_threshold
 
         r = spins_t.shape[1]
         beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
         th = accept_threshold(uniforms_t, beta[None, :], self.rule)
         th = jnp.where(self.mask_col < 0, -jnp.inf, th)
+        if self._use_single and r % 128 == 0:
+            interp = jax.default_backend() != "tpu"
+            s, de, cnt = self._single_call(r, False, interpret=interp)(
+                jnp.zeros((2,), jnp.int32), self._sidx, self._skrow,
+                self._sval, self._sh, th, spins_t.astype(jnp.float32))
+            return s, de[0], cnt[0].astype(jnp.int32)
         return self._sweep(spins_t, th)
 
     # jit-boundary contract (anneal.engines.SweepEngine docstring)
     def operands(self):
-        return {"ell": self.ell, "mask_col": self.mask_col,
-                "_perm_gather": self._perm_gather,
-                "_inv_map_j": self._inv_map_j,
-                "buckets": _bucket_arrays(self.groups)}
+        ops = {"ell": self.ell, "mask_col": self.mask_col,
+               "_perm_gather": self._perm_gather,
+               "_inv_map_j": self._inv_map_j,
+               "buckets": _bucket_arrays(self.groups)}
+        if self._use_single:
+            ops["single"] = (self._sidx, self._skrow, self._sval, self._sh)
+        return ops
 
     def bind(self, ops):
         import copy
@@ -904,6 +1169,8 @@ class SortedSparseTEngine:
         eng._perm_gather = ops["_perm_gather"]
         eng._inv_map_j = ops["_inv_map_j"]
         eng.groups = _rebind_groups(self.groups, ops["buckets"])
+        if self._use_single and "single" in ops:
+            (eng._sidx, eng._skrow, eng._sval, eng._sh) = ops["single"]
         eng._sweep = make_sorted_t_sweep(eng.groups)
         eng._sweep_fused = make_sorted_t_sweep_fused(
             eng.groups, eng.mask_col, eng.rule, eng.spin_dtype)

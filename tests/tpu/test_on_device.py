@@ -171,3 +171,41 @@ class TestShardedPallasOnTPU:
         # spins stay exactly +-1 through the int8 store
         vals = np.unique(np.asarray(s1))
         assert set(vals.tolist()) <= {-1, 1}
+
+    def test_single_call_sweep_on_tpu(self):
+        """The single-call whole-sweep kernel (accept_kernel='single',
+        default on TPU) with on-chip RNG: energy identity over sweeps and
+        acceptance statistics consistent with the threshold path."""
+        import jax.numpy as jnp
+
+        from spinglass_tpu.core import topology
+        from spinglass_tpu.core.problem import random_spins
+        from spinglass_tpu.kernels.sparse import (EllProblem,
+                                                  SortedSparseTEngine)
+
+        n, r = 1024, 256
+        coo = topology.sparse_random_graph_coo(n, avg_degree=6.0,
+                                               dist="gaussian", seed=2)
+        ell = EllProblem.from_coo(n, *coo)
+        eng = SortedSparseTEngine(ell, accept_kernel="single")
+        assert eng._use_single
+        base = SortedSparseTEngine(ell, accept_kernel="threshold")
+        s0 = random_spins(jax.random.key(0), (r, ell.n_padded),
+                          ell.active_mask)
+        st = eng.to_layout(s0)
+        e0 = np.asarray(eng.energy(st))
+        de_sum = np.zeros(r, np.float32)
+        accs = []
+        for i in range(10):
+            st, de, cnt = eng.sweep(st, jnp.float32(1.0), jax.random.key(i))
+            de_sum += np.asarray(de)
+            accs.append(np.mean(np.asarray(cnt)) / n)
+        e1 = np.asarray(eng.energy(st))
+        np.testing.assert_allclose(e0 + de_sum, e1, rtol=1e-3, atol=0.5)
+        sb = base.to_layout(s0)
+        acc_b = []
+        for i in range(10):
+            sb, _, cnt_b = base.sweep(sb, jnp.float32(1.0),
+                                      jax.random.key(50 + i))
+            acc_b.append(np.mean(np.asarray(cnt_b)) / n)
+        assert abs(np.mean(accs[3:]) - np.mean(acc_b[3:])) < 0.04
