@@ -210,7 +210,11 @@ SPARSE_DENSITY_THRESHOLD = 0.05
 SPARSE_MIN_SPINS = 2048
 
 
-SPARSE_T_MIN_REPLICAS = 256
+# r5: dropped 256 -> 128 with the single-call whole-sweep kernel (the T
+# engine's default on TPU) — measured TTT at R=128: sparse_t 0.415 s
+# median vs sparse_sorted 0.70 s on the committed provenance instance.
+# R % 128 == 0 is also the single kernel's lane-alignment requirement.
+SPARSE_T_MIN_REPLICAS = 128
 
 
 def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
