@@ -417,7 +417,7 @@ class TBucket:
 
 def build_sorted_t(ell: EllProblem, colors: np.ndarray, n_buckets: int = 12,
                    row_align: int = 8, color_align: int = 32,
-                   total_align: int = 256):
+                   total_align: int = 256, bucket_order: str = "degree"):
     """Host-side layout for the transposed sorted sliced-ELL sweep.
 
     Differences vs build_sorted_buckets (both measured on v5e, 10k spins /
@@ -431,6 +431,13 @@ def build_sorted_t(ell: EllProblem, colors: np.ndarray, n_buckets: int = 12,
       padded rows is time saved regardless of byte width;
     * returns a [NS, 1] threshold mask (0 real / -inf padding) consumed by
       the threshold generator so inert rows never flip.
+
+    ``bucket_order``: row order INSIDE each degree bucket — "degree"
+    (descending, the historical default) or "index" (ascending original
+    index — the r5 1M-spin locality experiment, VERDICT r4 task 5: does
+    keeping original-index order inside buckets recover DRAM locality
+    that degree-sorting scatters? Bucket membership and padding are
+    identical either way; only the within-bucket row order changes).
 
     Returns (perm [NS] original index per sorted row (-1 padding),
     inv_map [n_padded] sorted position per original row, groups
@@ -460,6 +467,11 @@ def build_sorted_t(ell: EllProblem, colors: np.ndarray, n_buckets: int = 12,
                 merged[-1] = np.concatenate([merged[-1], s])
             else:
                 merged.append(s)
+        if bucket_order == "index":
+            merged = [np.sort(nodes_b) for nodes_b in merged]
+        elif bucket_order != "degree":
+            raise ValueError(f"bucket_order must be 'degree' or 'index', "
+                             f"got {bucket_order!r}")
         span_start = pos
         buckets = []
         for bi, nodes in enumerate(merged):
@@ -957,7 +969,7 @@ class SortedSparseTEngine:
     def __init__(self, problem, rule: str = "metropolis",
                  max_colors: int = 256, n_buckets: int = 12,
                  spin_dtype=jnp.int8, threshold_rng: str = "auto",
-                 accept_kernel: str = "auto"):
+                 accept_kernel: str = "auto", bucket_order: str = "degree"):
         from spinglass_tpu.kernels.sweeps import canonical_rule
 
         self.problem = problem
@@ -984,7 +996,8 @@ class SortedSparseTEngine:
         self.ell = ell
         self.n_colors = int(colors.max()) + 1 if colors.size else 1
         (self.perm, self.inv_map, self.groups, self.mask_col,
-         self.n_sorted) = build_sorted_t(ell, colors, n_buckets=n_buckets)
+         self.n_sorted) = build_sorted_t(ell, colors, n_buckets=n_buckets,
+                                         bucket_order=bucket_order)
         self._perm_gather = jnp.asarray(np.where(self.perm >= 0,
                                                  self.perm, 0))
         self._inv_map_j = jnp.asarray(self.inv_map)
@@ -1022,6 +1035,14 @@ class SortedSparseTEngine:
         self._use_single = (accept_kernel == "single"
                             or (accept_kernel == "auto"
                                 and jax.default_backend() == "tpu"))
+        # instances whose [NS, 128] f32 spins (the MINIMUM lane-aligned
+        # replica width) exceed the VMEM budget can never run the single
+        # kernel — don't build/ship its ~NS*KMAX*8-byte tables (at 1M
+        # spins they cost ~250 MB of HBM and OOM'd the R=1024 threshold
+        # path that auto mode falls back to anyway)
+        if (accept_kernel == "auto" and self._use_single
+                and self.n_sorted * 128 * 4 > self.SINGLE_VMEM_SPIN_BYTES):
+            self._use_single = False
         if self._use_single:
             self.spin_dtype = jnp.dtype(jnp.float32)
             (self._sidx, self._skrow, self._sval, self._sh,
@@ -1044,6 +1065,15 @@ class SortedSparseTEngine:
                 self.n_sorted, r, self._skmax, self.rule,
                 kernel_rng=kernel_rng, interpret=interpret)
         return self._single_calls[key]
+
+    # single-call mode keeps the whole [NS, R] f32 spin array VMEM-resident;
+    # beyond this byte budget (v5e scoped VMEM ~100 MB, minus th/acc
+    # scratches and streamed operands) auto mode falls back to the
+    # threshold path (1M-spin instances would fail Mosaic allocation)
+    SINGLE_VMEM_SPIN_BYTES = 80 * 1024 * 1024
+
+    def _single_fits(self, r: int) -> bool:
+        return self.n_sorted * r * 4 <= self.SINGLE_VMEM_SPIN_BYTES
 
     def _sweep_single(self, spins_t, beta, key):
         r = spins_t.shape[1]
@@ -1120,8 +1150,10 @@ class SortedSparseTEngine:
                 f"accept_kernel='fused'/'single' needs replica count % 128 "
                 f"== 0 (got {r}); falling back silently would benchmark "
                 f"the wrong code path")
-        if self._use_single and r % 128 == 0:
+        if self._use_single and r % 128 == 0 and self._single_fits(r):
             # auto mode falls back to the threshold path for unaligned r
+            # or VMEM-overflowing [NS, R] (the explicit 'single' setting
+            # also falls back on overflow — Mosaic would fail allocation)
             return self._sweep_single(spins_t, beta, key)
         if self._use_fused_accept:
             beta_r = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
@@ -1142,7 +1174,7 @@ class SortedSparseTEngine:
         beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (r,))
         th = accept_threshold(uniforms_t, beta[None, :], self.rule)
         th = jnp.where(self.mask_col < 0, -jnp.inf, th)
-        if self._use_single and r % 128 == 0:
+        if self._use_single and r % 128 == 0 and self._single_fits(r):
             interp = jax.default_backend() != "tpu"
             s, de, cnt = self._single_call(r, False, interpret=interp)(
                 jnp.zeros((2,), jnp.int32), self._sidx, self._skrow,
