@@ -206,6 +206,18 @@ class PallasEngine(SweepEngine):
         return eng
 
 
+# Engines whose traced program + operand shapes depend ONLY on problem
+# shape/dtype and config — safe to share compiled solver executables
+# across equal-trace-signature problems (jit_cache signature keying).
+# "colored" is EXCLUDED: its mask count/shapes come from a greedy coloring
+# of the problem CONTENT (two same-shape problems can dispatch to colored
+# vs blocked, or color differently — an r5 suite failure caught exactly
+# that: a cached blocked chunk received a colored engine's operands).
+# Sparse engines never reach signature mode (EllProblem has no
+# trace_signature — bucket layout is content-derived).
+SIGNATURE_SHARED_ENGINES = frozenset({"blocked", "blocked_pallas"})
+
+
 SPARSE_DENSITY_THRESHOLD = 0.05
 SPARSE_MIN_SPINS = 2048
 

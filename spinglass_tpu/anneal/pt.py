@@ -383,8 +383,20 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
                               checkpoint_dir, checkpoint_every, resume,
                               n_super)
 
+    # engine identity must be part of any signature key (auto dispatch is
+    # content-dependent; engines.SIGNATURE_SHARED_ENGINES) — build the
+    # step up front in signature mode, reuse it inside _build on a miss
+    from spinglass_tpu.anneal.engines import SIGNATURE_SHARED_ENGINES
+
+    pre_built, sig = None, None
+    if hasattr(problem, "trace_signature"):
+        pre_built = make_pt_step(problem, cfg)
+        if pre_built[2].name in SIGNATURE_SHARED_ENGINES:
+            sig = (problem.trace_signature(), pre_built[2].name)
+
     def _build():
-        super_step, _, engine = make_pt_step(problem, cfg)
+        super_step, _, engine = (pre_built if pre_built is not None
+                                 else make_pt_step(problem, cfg))
 
         # ONE jitted dispatch for the whole run: replica init, the full
         # super-step scan, and best-replica selection all happen on device —
@@ -424,14 +436,12 @@ def run(problem: IsingProblem, cfg: Optional[PTConfig] = None,
     # ladder is a RUNTIME argument, so ladder tuning / overrides also reuse it.
     from spinglass_tpu.anneal.jit_cache import pt_cache
 
-    sig = (problem.trace_signature()
-           if hasattr(problem, "trace_signature") else None)
     run_all, engine = pt_cache().get_or_build(problem, cfg, _build,
                                               signature=sig)
     operands = run_all.operands
-    if engine.problem is not problem:
-        fresh_step, _, engine = make_pt_step(problem, cfg)
-        operands = fresh_step.operands_for_step
+    if engine.problem is not problem:  # cross-object signature hit
+        operands = pre_built[0].operands_for_step
+        engine = pre_built[2]
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)
@@ -504,8 +514,17 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
     bitwise-identical to the single-dispatch path under a fixed seed."""
     from spinglass_tpu.utils.checkpoint import CheckpointManager
 
+    from spinglass_tpu.anneal.engines import SIGNATURE_SHARED_ENGINES
+
+    pre_built, sig = None, None
+    if hasattr(problem, "trace_signature"):
+        pre_built = make_pt_step(problem, cfg)
+        if pre_built[2].name in SIGNATURE_SHARED_ENGINES:
+            sig = (problem.trace_signature(), pre_built[2].name)
+
     def _build():
-        super_step, _, engine = make_pt_step(problem, cfg)
+        super_step, _, engine = (pre_built if pre_built is not None
+                                 else make_pt_step(problem, cfg))
 
         @jax.jit
         def init_jit(key, betas, prob, eng_ops):
@@ -524,14 +543,12 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
 
     from spinglass_tpu.anneal.jit_cache import pt_cache
 
-    sig = (problem.trace_signature()
-           if hasattr(problem, "trace_signature") else None)
     engine, init_jit, segment = pt_cache().get_or_build(
         problem, ("seg", cfg), _build, signature=sig)
     operands = segment.operands
     if engine.problem is not problem:  # cross-object signature hit
-        fresh_step, _, engine = make_pt_step(problem, cfg)
-        operands = fresh_step.operands_for_step
+        operands = pre_built[0].operands_for_step
+        engine = pre_built[2]
     temps = (np.asarray(ladder_override, np.float32)
              if ladder_override is not None else temperature_ladder(cfg))
     betas_ladder = jnp.asarray(1.0 / temps)

@@ -194,8 +194,24 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
     """
     config = config or SAConfig()
 
+    # Signature sharing (r5): dense problems with equal trace_signature
+    # AND an engine whose program is shape-only (SIGNATURE_SHARED_ENGINES)
+    # share the compiled chunk; the engine is built up front so its
+    # IDENTITY is part of the key (auto dispatch is content-dependent —
+    # same-shape problems can pick colored vs blocked, whose operand
+    # pytrees differ; see engines.SIGNATURE_SHARED_ENGINES).
+    from spinglass_tpu.anneal.engines import SIGNATURE_SHARED_ENGINES
+    from spinglass_tpu.anneal.jit_cache import sa_cache
+
+    pre_engine, sig = None, None
+    if hasattr(problem, "trace_signature"):
+        pre_engine = make_sweep_engine(problem, config)
+        if pre_engine.name in SIGNATURE_SHARED_ENGINES:
+            sig = (problem.trace_signature(), pre_engine.name)
+
     def _build():
-        engine = make_sweep_engine(problem, config)
+        engine = (pre_engine if pre_engine is not None
+                  else make_sweep_engine(problem, config))
 
         # prob/eng_ops as TRACED args: closure-embedding the problem and
         # engine arrays bakes J into the HLO as constants (compile 64 s vs
@@ -206,18 +222,10 @@ def anneal(problem: IsingProblem, config: Optional[SAConfig] = None,
 
         return engine, jax.jit(chunk, static_argnames=("n_sweeps",))
 
-    # reuse engine + compiled chunk across anneal() calls — same problem
-    # object, or (dense problems) ANY problem with the same trace signature:
-    # the chunk's trace is content-independent (arrays are arguments), so a
-    # cross-object hit only needs fresh engine operands (see jit_cache.py)
-    from spinglass_tpu.anneal.jit_cache import sa_cache
-
-    sig = (problem.trace_signature()
-           if hasattr(problem, "trace_signature") else None)
     engine, chunk_jit = sa_cache().get_or_build(problem, ("anneal", config),
                                                 _build, signature=sig)
-    if engine.problem is not problem:
-        engine = make_sweep_engine(problem, config)
+    if engine.problem is not problem:  # cross-object signature hit
+        engine = pre_engine
 
     state = init_state(problem, config, engine, key, init_spins)
     eng_ops = engine.operands()

@@ -969,7 +969,8 @@ class SortedSparseTEngine:
     def __init__(self, problem, rule: str = "metropolis",
                  max_colors: int = 256, n_buckets: int = 12,
                  spin_dtype=jnp.int8, threshold_rng: str = "auto",
-                 accept_kernel: str = "auto", bucket_order: str = "degree"):
+                 accept_kernel: str = "auto", bucket_order: str = "degree",
+                 single_rows_per_step: int = 32):
         from spinglass_tpu.kernels.sweeps import canonical_rule
 
         self.problem = problem
@@ -1032,6 +1033,12 @@ class SortedSparseTEngine:
         # TPU via accept_kernel="auto"; falls back to the threshold path
         # when the replica count is not lane-aligned (r % 128 != 0).
         self._accept_kernel = accept_kernel
+        # rows per single-kernel grid step; must divide the 32-row color
+        # alignment (32 = measured default; tests use 8 to shrink the
+        # interpret-mode trace ~4x)
+        if single_rows_per_step not in (8, 16, 32):
+            raise ValueError("single_rows_per_step must be 8, 16 or 32")
+        self._srps = single_rows_per_step
         self._use_single = (accept_kernel == "single"
                             or (accept_kernel == "auto"
                                 and jax.default_backend() == "tpu"))
@@ -1055,7 +1062,7 @@ class SortedSparseTEngine:
 
     def _single_tables(self):
         idx_all, val_all, krow, h_all, kmax = build_single_tables(
-            self.groups, self.n_sorted)
+            self.groups, self.n_sorted, rps=self._srps)
         return idx_all, krow, val_all, h_all, kmax
 
     def _single_call(self, r, kernel_rng, interpret=False):
@@ -1063,7 +1070,8 @@ class SortedSparseTEngine:
         if key not in self._single_calls:
             self._single_calls[key] = make_single_sweep_call(
                 self.n_sorted, r, self._skmax, self.rule,
-                kernel_rng=kernel_rng, interpret=interpret)
+                kernel_rng=kernel_rng, rows_per_step=self._srps,
+                interpret=interpret)
         return self._single_calls[key]
 
     # single-call mode keeps the whole [NS, R] f32 spin array VMEM-resident;

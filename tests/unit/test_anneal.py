@@ -523,3 +523,23 @@ class TestSignatureSharedSolverCache:
                                                dist="gaussian", seed=0)
         ell = EllProblem.from_coo(64, *coo)
         assert not hasattr(ell, "trace_signature")
+
+    def test_engine_dispatch_divergence_does_not_collide(self):
+        """Same-shape problems whose AUTO dispatch picks different engines
+        (content-dependent coloring) must not share cache entries: a
+        fully-connected instance (uncolorable within max_colors -> blocked)
+        and a 2-colorable ring of the same padded shape (-> colored).
+        Regression for the r5 suite failure (KeyError 'masks': a cached
+        blocked chunk received a colored engine's operand pytree)."""
+        from spinglass_tpu.anneal.jit_cache import sa_cache
+
+        dense = self._p(0)                    # n=24 fully connected
+        ring = IsingProblem.from_dense(
+            topology.chain(24, periodic=True, dist="binary", seed=1))
+        assert dense.trace_signature() == ring.trace_signature()
+        cfg = SA.SAConfig(n_sweeps=40, n_replicas=4, use_pallas="never",
+                          seed=0)
+        sa_cache().clear()
+        r1 = SA.anneal(dense, cfg)
+        r2 = SA.anneal(ring, cfg)             # KeyError before the fix
+        assert np.isfinite(r1.best_energy) and np.isfinite(r2.best_energy)
