@@ -713,6 +713,11 @@ def make_sorted_t_sweep_fused(groups, mask_col, rule, spin_dtype,
     return sweep
 
 
+KS_BLOCK = 256  # per-step max-degree table streams to SMEM in this many
+# rows per window (a whole-table SMEM operand failed Mosaic allocation
+# above ~1900 rows / ~7.7 KB — r5 probe at n_sorted >= 61440)
+
+
 def build_single_tables(groups, n_sorted: int, rps: int = 32):
     """Flatten build_sorted_t's per-color bucket lists into whole-layout
     row tables for the single-call sweep kernel (make_single_sweep_call):
@@ -739,7 +744,11 @@ def build_single_tables(groups, n_sorted: int, rps: int = 32):
             val_all[i0:i0 + b.m, :b.k] = v
             krow[i0:i0 + b.m] = (v != 0).sum(axis=1)
             h_all[i0:i0 + b.m, 0] = np.asarray(b.h)
-    ks = krow.reshape(n_sorted // rps, rps).max(axis=1)[:, None]
+    ks = krow.reshape(n_sorted // rps, rps).max(axis=1)
+    # pad to the kernel's 256-step SMEM block (whole-table SMEM operands
+    # hit a ~8 KB Mosaic limit around n_sorted ~61k: blocks stream instead)
+    n_steps_pad = -(-len(ks) // KS_BLOCK) * KS_BLOCK
+    ks = np.pad(ks, (0, n_steps_pad - len(ks)))[:, None]
     return (jnp.asarray(idx_all), jnp.asarray(val_all),
             jnp.asarray(ks.astype(np.int32)), jnp.asarray(h_all), kmax)
 
@@ -814,7 +823,7 @@ def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
         # (same-color rows are independent; per-row accepts cost ~500
         # us/sweep at [10k, 1024] in the v1 kernel).
         acc[:] = jnp.zeros((rps, r), jnp.float32) + h_ref[:]
-        ks = kr_ref[b, 0]
+        ks = kr_ref[b % KS_BLOCK, 0]
         for e in range(kmax):
             @pl.when(e < ks)
             def _(e=e):
@@ -833,15 +842,26 @@ def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
         cnt_out[:] = cnt_out[:] + jnp.sum(a.astype(jnp.float32), axis=0,
                                           keepdims=True)
 
+    def init_spins(b, s_in_ref, s_io_ref, dma_sem):
+        # s_in stays in HBM (memory_space ANY) and is DMA'd into the VMEM
+        # output window once — a second [NS, R] VMEM input window halved
+        # the serviceable NS*R (16k x 1024 f32 = 64 MB failed Mosaic
+        # allocation with two windows; ~88 MB compiles with one)
+        @pl.when(b == 0)
+        def _():
+            dma = pltpu.make_async_copy(s_in_ref, s_io_ref, dma_sem)
+            dma.start()
+            dma.wait()
+
     if kernel_rng:
         def kernel(seed_ref, idx_ref, kr_ref, val_ref, h_ref, mask_ref,
                    nib_ref, s_in_ref, s_io_ref, de_out, cnt_out,
-                   th, acc):
+                   th, acc, dma_sem):
             b = pl.program_id(0)
+            init_spins(b, s_in_ref, s_io_ref, dma_sem)
 
             @pl.when(b == 0)
             def _():
-                s_io_ref[:] = s_in_ref[:]
                 de_out[:] = jnp.zeros_like(de_out)
                 cnt_out[:] = jnp.zeros_like(cnt_out)
 
@@ -854,12 +874,12 @@ def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
         ]
     else:
         def kernel(seed_ref, idx_ref, kr_ref, val_ref, h_ref, th_in_ref,
-                   s_in_ref, s_io_ref, de_out, cnt_out, th, acc):
+                   s_in_ref, s_io_ref, de_out, cnt_out, th, acc, dma_sem):
             b = pl.program_id(0)
+            init_spins(b, s_in_ref, s_io_ref, dma_sem)
 
             @pl.when(b == 0)
             def _():
-                s_io_ref[:] = s_in_ref[:]
                 de_out[:] = jnp.zeros_like(de_out)
                 cnt_out[:] = jnp.zeros_like(cnt_out)
 
@@ -876,17 +896,18 @@ def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
         scratch_shapes=[
             pltpu.VMEM((rps, r), jnp.float32),        # th
             pltpu.VMEM((rps, r), jnp.float32),        # acc / f rows
+            pltpu.SemaphoreType.DMA,                  # s_in -> s_io copy
         ],
         in_specs=[
             pl.BlockSpec((rps, kmax), lambda b, s: (b, 0),
                          memory_space=pltpu.SMEM),     # idx
-            pl.BlockSpec((n_steps, 1), lambda b, s: (0, 0),
-                         memory_space=pltpu.SMEM),     # ks (whole table)
+            pl.BlockSpec((KS_BLOCK, 1), lambda b, s: (b // KS_BLOCK, 0),
+                         memory_space=pltpu.SMEM),     # ks (step chunk)
             pl.BlockSpec((rps, kmax), lambda b, s: (b, 0),
                          memory_space=pltpu.SMEM),     # val (scalar reads)
             pl.BlockSpec((rps, 1), lambda b, s: (b, 0)),   # h (vector add)
         ] + rng_specs + [
-            pl.BlockSpec((n_sorted, r), lambda b, s: (0, 0)),  # s_in
+            pl.BlockSpec(memory_space=pltpu.ANY),     # s_in (stays HBM)
         ],
         out_specs=(
             pl.BlockSpec((n_sorted, r), lambda b, s: (0, 0)),
