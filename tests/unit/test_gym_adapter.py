@@ -64,3 +64,20 @@ class TestGymAdapter:
         assert env.cfg.n_envs == 1
         obs, _ = env.reset(seed=0)
         assert obs.shape == (16,)
+
+    def test_spins_obs_mode_widens_space(self, problem):
+        """obs_mode='spins' flows through the adapter: the observation
+        space and returned observations carry spins + the 16 globals."""
+        from spinglass_tpu.rl import env as fenv
+
+        cfg = EnvConfig(n_envs=1, obs_mode="spins", sweeps_per_step=2,
+                        max_steps=3)
+        env = SpinGlassGymEnv(problem, cfg, seed=0)
+        want = fenv.obs_dim(problem, cfg)
+        assert env.observation_space.shape == (want,)
+        obs, _ = env.reset(seed=1)
+        assert obs.shape == (want,)
+        spins = obs[:problem.n_spins]
+        assert set(np.unique(spins)) <= {-1.0, 1.0}
+        obs2, r, term, trunc, info = env.step(0)
+        assert obs2.shape == (want,)
