@@ -72,11 +72,12 @@ def adaptive_anneal(problem: IsingProblem,
     jax.block_until_ready(state.spins)
     total = time.perf_counter() - t0
 
-    best_spins_rn = np.asarray(engine.from_layout(state.best_spins))
     b = int(jnp.argmin(state.best_energy))
+    # device-side row select (avoid the full [R, N] host pull; r5)
+    best_row = np.asarray(engine.from_layout(state.best_spins)[b])
     sweeps = n_chunks * sa.record_interval
     return AnnealResult(
-        best_spins=best_spins_rn[b][: problem.n_spins],
+        best_spins=best_row[: problem.n_spins],
         best_energy=float(jnp.min(state.best_energy)),
         replica_best_energy=np.asarray(state.best_energy),
         energy_history=np.asarray(e_hist),

@@ -631,7 +631,9 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
 
     hist = hists[0]
     best_r = int(jnp.argmin(state.best_energy))
-    best_spins = np.asarray(engine.from_layout(state.best_spins))[best_r]
+    # device-side row select (full [R, N] host pulls cost ~0.8 s at
+    # [20k, 1024] through the tunnel; r5 finding)
+    best_spins = np.asarray(engine.from_layout(state.best_spins)[best_r])
     out = {
         "best_spins": best_spins,
         "best_energy": float(jnp.min(state.best_energy)),
