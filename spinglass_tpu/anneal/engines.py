@@ -239,10 +239,11 @@ def make_engine(problem: IsingProblem, *, sweep_method: str = "auto",
     annealing/gpu_annealer.py:199-234 / cuda_kernels.py:150-171).
 
     ``r_hint``: expected total replica count. For sparse problems on TPU with
-    r_hint >= SPARSE_T_MIN_REPLICAS the transposed SortedSparseTEngine is
-    selected (contiguous major-dim gathers + Pallas threshold RNG, measured
-    1.5x at R=1024); narrow-replica runs keep the [R, N] SortedSparseEngine
-    whose lane dimension is the spin axis."""
+    r_hint >= SPARSE_T_MIN_REPLICAS (128) the transposed SortedSparseTEngine
+    is selected — since round 5 it runs the single-call whole-sweep Pallas
+    kernel when [NS, R] fits VMEM (21.4 Gflips/s at [10k, R=1024] vs 10.3
+    for the threshold path; ADR-0003 addendum). Narrow-replica runs keep
+    the [R, N] SortedSparseEngine whose lane dimension is the spin axis."""
     from spinglass_tpu.kernels.sparse import EllProblem, SparseEngine
     from spinglass_tpu.kernels.sweeps import canonical_rule
 
