@@ -317,13 +317,12 @@ def bench_ttt():
                                          seed=SEED)
         target, rel_gap, frustration = inst.e0, 1e-3, 0.0
     ell = EllProblem.from_coo(n, inst.rows, inst.cols, inst.vals)
-    # 128 replicas (r4): the [R, NS] sparse sweep is gather-issue-bound,
-    # so wall/sweep barely moves with R while the denser ladder cuts
-    # sweeps-to-target ~40x. Measured 3-seed medians on v5e at this
-    # instance: 16 -> 11.97 s, 32 -> 1.28 s, 64 -> 0.38 s, 128 -> 0.31 s,
-    # 256 -> 0.74 s (per-sweep cost jumps past the engine's width
-    # sweet spot). Target/instance/gap are unchanged — this is a solver
-    # configuration win, not a metric change.
+    # 128 replicas (r4; re-validated r5 vs the deepened -21773.709 target
+    # on the single-call kernel: 128 -> 0.558 s median, 256 -> 0.534,
+    # 512 -> 0.938 — 128 vs 256 is within seed noise, keep the committed
+    # protocol). Target/instance/gap fields all come from
+    # ttt_provenance.json, which round 5 re-baselined (wider deep-run
+    # ladders showed r4's best-known was unconverged).
     cfg = pt_mod.PTConfig(n_replicas=128 if on_tpu else 16,
                           exchange_interval=10,
                           min_temp=0.05 if on_tpu else 0.1,
