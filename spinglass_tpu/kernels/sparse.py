@@ -755,7 +755,7 @@ def build_single_tables(groups, n_sorted: int, rps: int = 32):
 
 def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
                            kernel_rng: bool = True, rows_per_step: int = 32,
-                           interpret: bool = False):
+                           interpret: bool = False, expr_k0: int = 0):
     """ONE pallas_call for the ENTIRE colored sparse sweep (round-5,
     VERDICT.md r4 task 4): neighbor gather, local fields, threshold RNG,
     accept, flip and dE/count reduction all happen in-kernel, with spins
@@ -819,12 +819,25 @@ def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
         # the loop overhead, not the loads, dominated the v1 kernel); the
         # step-level `e < ks` guard skips unused high-degree slots for
         # low-degree steps, and val=0 padding inertly fills the rest.
+        # expr_k0 > 0 accumulates the first slots as one register
+        # expression tree per row (no per-edge acc ref traffic, no
+        # guards; val=0 padding keeps it exact). MEASURED SLOWER on v5e
+        # at [10k, R=1024]: k0=8 -> 560 us/sweep, k0=32 -> 887 vs 475
+        # for the guarded ref-accumulate — the unconditional padded-slot
+        # loads cost more than the acc read/write they save. Default 0.
         # The accept phase runs vectorized on the whole [rps, R] step
         # (same-color rows are independent; per-row accepts cost ~500
         # us/sweep at [10k, 1024] in the v1 kernel).
-        acc[:] = jnp.zeros((rps, r), jnp.float32) + h_ref[:]
         ks = kr_ref[b % KS_BLOCK, 0]
-        for e in range(kmax):
+        k0 = min(kmax, expr_k0)
+        for i in range(rps):
+            # h_ref is VMEM: read the [1, 1] slice and broadcast (scalar
+            # element reads only lower from SMEM)
+            f = jnp.zeros((1, r), jnp.float32) + h_ref[i:i + 1, :]
+            for e in range(k0):
+                f = f + val_ref[i, e] * s_io_ref[pl.ds(idx_ref[i, e], 1), :]
+            acc[i:i + 1, :] = f
+        for e in range(k0, kmax):
             @pl.when(e < ks)
             def _(e=e):
                 for i in range(rps):
