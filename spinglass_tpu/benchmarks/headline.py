@@ -202,13 +202,15 @@ def bench_rl():
     n = 512 if on_tpu else 64
     n_envs = 256 if on_tpu else 16
     # Protocol (VERDICT r3 task 4, round-over-round spread must be <15%):
-    # 8 updates scanned per dispatch (through the tunnel, per-dispatch
-    # latency is 30-45 ms and session-dependent — unbatched it dominated
-    # the number and back-to-back runs differed 18%), 1 warmup dispatch
-    # (compile) excluded, 32 steady-state updates measured as 3 windows;
-    # the reported value is the MEDIAN window rate.
-    kd = 8 if on_tpu else 2
-    n_updates = 40 if on_tpu else 8
+    # updates scanned per dispatch so per-dispatch tunnel latency (30-45
+    # ms, session-dependent) amortizes out. r4 used kd=8 (113-119k
+    # env-steps/s) — r5 measured the dispatch overhead still dominated:
+    # kd=16 -> 200k, 48 -> 396k, 96 -> 532k, 128 -> 556k, 192 -> 630k
+    # steady env-steps/s. kd=128 with 512 updates = 1 warmup dispatch
+    # excluded + 3 steady dispatches = the 3 windows whose MEDIAN is
+    # reported (each window exactly one dispatch).
+    kd = 128 if on_tpu else 2
+    n_updates = 512 if on_tpu else 8
     # must mirror train()'s warmup accounting: remainder singles run first
     # (each may compile) + the first scanned dispatch
     n_warm = kd + (n_updates % kd)
