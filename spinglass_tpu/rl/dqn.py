@@ -46,6 +46,10 @@ class DQNConfig:
     per_alpha: float = 0.6              # prioritization exponent
     per_beta: float = 0.4               # importance-sampling exponent
     per_eps: float = 1e-3               # priority floor
+    steps_per_dispatch: int = 1         # act+learn steps scanned per device
+    # dispatch (r5: the PPO analog took the measured controller rate from
+    # 113k to 556k env-steps/s through a remote-TPU tunnel whose 30-45 ms
+    # per-dispatch latency otherwise dominates)
     seed: int = 0
 
 

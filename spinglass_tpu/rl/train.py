@@ -103,11 +103,40 @@ class RLTrainingPipeline:
                 if params is not None:
                     state = state.replace(params=params,
                                           target_params=params)
-                for u in range(updates_per_stage):
-                    state, m = step_fn(state)
-                    env_steps += self.env_cfg.n_envs
-                    self._record(stage, u, m, verbose)
-                    self._maybe_checkpoint(stage, u, state.params)
+                kd = max(1, self.dqn_cfg.steps_per_dispatch)
+                if kd > 1:
+                    # scan kd act+learn steps per dispatch (ppo.train's
+                    # updates_per_dispatch analog): the unjitted raw body
+                    # is mandatory here — calling the jitted step inside
+                    # this traced scan would capture the engine operands
+                    # as HLO constants (ADR-0004)
+                    from jax import lax
+
+                    raw, call_args = step_fn.raw, step_fn.call_args
+
+                    @jax.jit
+                    def _multi(st, *args):
+                        def body(st, _):
+                            return raw(st, *args)
+                        return lax.scan(body, st, None, length=kd)
+
+                u = 0
+                while u < updates_per_stage:
+                    if kd > 1 and updates_per_stage - u >= kd:
+                        state, ms = _multi(state, *step_fn.call_args)
+                        ms = {k: np.asarray(v) for k, v in ms.items()}
+                        for i in range(kd):
+                            self._record(stage, u + i,
+                                         {k: v[i] for k, v in ms.items()},
+                                         verbose)
+                        env_steps += kd * self.env_cfg.n_envs
+                        u += kd
+                    else:
+                        state, m = step_fn(state)
+                        env_steps += self.env_cfg.n_envs
+                        self._record(stage, u, m, verbose)
+                        u += 1
+                    self._maybe_checkpoint(stage, u - 1, state.params)
                 params = state.params
             else:
                 raise ValueError(self.cfg.agent)

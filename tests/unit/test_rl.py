@@ -626,3 +626,30 @@ class TestUpdatesPerDispatchParity:
             for k in h1:
                 np.testing.assert_allclose(h1[k], h3[k], rtol=1e-5,
                                            atol=1e-6, err_msg=k)
+
+
+class TestDQNStepsPerDispatch:
+    @pytest.mark.slow  # two pipeline compiles ~19 s; the shared scan
+    # mechanism is covered non-slow by TestUpdatesPerDispatchParity (PPO)
+    def test_history_parity(self):
+        """DQNConfig.steps_per_dispatch>1 (scan over the raw act+learn
+        body, the PPO updates_per_dispatch analog) must reproduce the
+        kd=1 metric history exactly, including a non-divisible tail."""
+        p = _problem(n=16, seed=2)
+        env_cfg = EnvConfig(n_envs=4, sweeps_per_step=2, max_steps=8)
+        base = dict(buffer_size=32, batch_size=8, hidden_sizes=(8,), seed=3)
+        outs = []
+        for kd in (1, 2):
+            cfg = TrainingConfig(agent="dqn", n_updates=3, seed=3)
+            pipe = RLTrainingPipeline(
+                cfg, env_cfg,
+                dqn_cfg=dqn_mod.DQNConfig(**base, steps_per_dispatch=kd),
+                problem=p)
+            pipe.train()
+            outs.append(pipe.metrics)
+        assert len(outs[0]) == len(outs[1]) == 3
+        for m1, m2 in zip(outs[0], outs[1]):
+            assert m1.keys() == m2.keys()
+            for k in m1:
+                np.testing.assert_allclose(m1[k], m2[k], rtol=1e-5,
+                                           atol=1e-6, err_msg=k)
