@@ -574,15 +574,24 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
         import json as _json
 
         with open(meta_path) as f:
-            saved_engine = _json.load(f).get("engine")
-        if resume and saved_engine != engine.name:
+            meta = _json.load(f)
+        saved_engine = meta.get("engine")
+        # spin dtype matters too: r5's single-call sparse mode carries f32
+        # where the threshold path carries int8 — same engine NAME,
+        # incompatible checkpoint arrays
+        cur_dtype = str(getattr(engine, "spin_dtype", ""))
+        saved_dtype = meta.get("spin_dtype", cur_dtype)
+        if resume and (saved_engine != engine.name
+                       or saved_dtype != cur_dtype):
             from spinglass_tpu.utils.checkpoint import CheckpointError
 
             raise CheckpointError(
                 f"checkpoint in {checkpoint_dir} was written by engine "
-                f"'{saved_engine}' but the current dispatch picked "
-                f"'{engine.name}' (different state layout). Pin "
-                f"PTConfig(sweep_method=...) to the original engine to "
+                f"'{saved_engine}' (spin dtype {saved_dtype!r}) but the "
+                f"current dispatch picked '{engine.name}' (spin dtype "
+                f"{cur_dtype!r}) — different state layout. Pin "
+                f"PTConfig(sweep_method=...) (and on TPU the engine's "
+                f"accept_kernel) to the original configuration to "
                 f"resume, or point checkpoint_dir at a fresh directory.")
     if resume:
         template = {"state": state, "done_super": np.int64(0)}
@@ -625,7 +634,9 @@ def _run_segmented(problem, cfg: PTConfig, key, ladder_override,
             with open(meta_path, "w") as f:
                 _json.dump({"engine": engine.name,
                             "sweep_method": cfg.sweep_method,
-                            "update_rule": cfg.update_rule}, f)
+                            "update_rule": cfg.update_rule,
+                            "spin_dtype": str(getattr(engine, "spin_dtype",
+                                                      ""))}, f)
             wrote_meta = True
     total = time.perf_counter() - t0
 

@@ -326,6 +326,27 @@ class TestCheckpointResume:
         with pytest.raises(CheckpointError, match="sweep_method"):
             PT.run(p, cfg2, checkpoint_dir=d, resume=True)
 
+    def test_pt_resume_refuses_spin_dtype_mismatch(self, tmp_path):
+        """Same engine NAME but a different spin carrier dtype (r5: the
+        single-call sparse mode carries f32 where the threshold path
+        carries int8) must also refuse to resume."""
+        import json
+        import os
+
+        from spinglass_tpu.utils.checkpoint import CheckpointError
+
+        p = _problem(24, seed=9)
+        d = str(tmp_path / "pt_ckpt_dtype")
+        cfg = PT.PTConfig(n_replicas=4, n_sweeps=40, exchange_interval=10,
+                          sweep_method="blocked", seed=5)
+        PT.run(p, cfg, checkpoint_dir=d, checkpoint_every=2)
+        meta_path = os.path.join(d, "engine_meta.json")
+        meta = json.load(open(meta_path))
+        meta["spin_dtype"] = "int8"        # simulate an old-layout writer
+        json.dump(meta, open(meta_path, "w"))
+        with pytest.raises(CheckpointError, match="spin dtype"):
+            PT.run(p, cfg, checkpoint_dir=d, resume=True)
+
     def test_pt_resume_reproduces_uninterrupted(self, tmp_path):
         import os
 
