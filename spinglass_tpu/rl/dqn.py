@@ -49,7 +49,8 @@ class DQNConfig:
     steps_per_dispatch: int = 1         # act+learn steps scanned per device
     # dispatch (r5: the PPO analog took the measured controller rate from
     # 113k to 556k env-steps/s through a remote-TPU tunnel whose 30-45 ms
-    # per-dispatch latency otherwise dominates)
+    # per-dispatch latency otherwise dominates; DQN pipeline measured
+    # 0.3k -> 9.3k env-steps/s incl. compile at kd=64 on the same setup)
     seed: int = 0
 
 
