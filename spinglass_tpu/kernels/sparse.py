@@ -920,7 +920,7 @@ def make_single_sweep_call(n_sorted: int, r: int, kmax: int, rule: str,
                          memory_space=pltpu.SMEM),     # val (scalar reads)
             pl.BlockSpec((rps, 1), lambda b, s: (b, 0)),   # h (vector add)
         ] + rng_specs + [
-            pl.BlockSpec(memory_space=pltpu.ANY),     # s_in (stays HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # s_in (stays HBM)
         ],
         out_specs=(
             pl.BlockSpec((n_sorted, r), lambda b, s: (0, 0)),
