@@ -177,11 +177,15 @@ class TestSingleCallSweep:
     sweep — gather, fields, thresholds, flips — as ONE pallas_call with
     spins VMEM-resident. Measured 478 us/sweep = 21.4 Gflips/s on v5e at
     [10k, R=1024] vs the threshold path's 996 us; default on TPU. These
-    CPU tests drive the interpret-mode no-RNG kernel variant; parity,
-    energy identity, padding and operand-roundtrip share ONE engine so
-    the interpret-mode kernel compiles once (suite budget)."""
+    CPU tests drive the interpret-mode no-RNG kernel variant. Parity/bind
+    and energy/padding are SEPARATE tests: the combined original measured
+    ~13 s sequential and 27 s under the 2-worker suite (each test pays 1-2
+    interpret-mode compiles; splitting halves the worst single test)."""
 
-    def test_parity_identity_padding_roundtrip(self, key):
+    def test_decision_parity_and_bind_roundtrip(self, key):
+        """Bit-exact decision parity with the per-color XLA sweep, and
+        bind(operands()) behavior identity (the bound copy SHARES the
+        compiled call cache, so the roundtrip adds ~10 ms)."""
         from spinglass_tpu.kernels.sparse import SortedSparseTEngine
 
         ell = _ell(n=96, seed=3)
@@ -192,7 +196,6 @@ class TestSingleCallSweep:
         s_rn = random_spins(key, (r, ell.n_padded), ell.active_mask)
         u = jax.random.uniform(jax.random.key(1), (base.n_sorted, r),
                                jnp.float32)
-        # 1. bit-exact decision parity with the per-color XLA sweep
         sb, deb, cb = base.sweep_with_uniforms(
             base.to_layout(s_rn), jnp.float32(0.8), u)
         ss, des, cs = single.sweep_with_uniforms(
@@ -202,26 +205,31 @@ class TestSingleCallSweep:
         np.testing.assert_array_equal(np.asarray(cb), np.asarray(cs))
         np.testing.assert_allclose(np.asarray(deb), np.asarray(des),
                                    rtol=1e-4, atol=1e-3)
-        # 2. energy identity through engine.sweep (host-threshold path on
-        # CPU; reuses the compiled no-RNG kernel from step 1)
-        st = single.to_layout(s_rn)
-        e0 = single.energy(st)
-        s1, de, cnt = single.sweep(st, jnp.float32(0.7), jax.random.key(4))
-        np.testing.assert_allclose(np.asarray(e0 + de),
-                                   np.asarray(single.energy(s1)),
-                                   rtol=1e-4, atol=1e-2)
-        # 3. inert (padding) sorted rows never flip
-        pad = np.asarray(single.perm) < 0
-        assert pad.any()
-        np.testing.assert_array_equal(np.asarray(s1)[pad],
-                                      np.asarray(st)[pad])
-        # 4. bind(operands()) roundtrip is decision-identical (the bound
-        # copy SHARES the compiled call cache)
         bound = single.bind(jax.tree.map(lambda x: x, single.operands()))
         s1b, deb2, cb2 = bound.sweep_with_uniforms(
             single.to_layout(s_rn), jnp.float32(0.8), u)
         np.testing.assert_array_equal(np.asarray(ss), np.asarray(s1b))
         assert "single" in single.operands()
+
+    def test_energy_identity_and_padding_inert(self, key):
+        """E0+dE==E1 through engine.sweep (host-threshold path on CPU) and
+        inert (padding) sorted rows never flip."""
+        from spinglass_tpu.kernels.sparse import SortedSparseTEngine
+
+        ell = _ell(n=96, seed=3)
+        single = SortedSparseTEngine(ell, accept_kernel="single",
+                                     single_rows_per_step=8)
+        st = single.to_layout(random_spins(key, (128, ell.n_padded),
+                                           ell.active_mask))
+        e0 = single.energy(st)
+        s1, de, cnt = single.sweep(st, jnp.float32(0.7), jax.random.key(4))
+        np.testing.assert_allclose(np.asarray(e0 + de),
+                                   np.asarray(single.energy(s1)),
+                                   rtol=1e-4, atol=1e-2)
+        pad = np.asarray(single.perm) < 0
+        assert pad.any()
+        np.testing.assert_array_equal(np.asarray(s1)[pad],
+                                      np.asarray(st)[pad])
 
     def test_explicit_single_rejects_unaligned_r(self, key):
         from spinglass_tpu.kernels.sparse import SortedSparseTEngine
